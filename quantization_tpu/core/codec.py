@@ -1,0 +1,104 @@
+"""Encode / decode and uint8 byte packing.
+
+TPU-first redesign of `quantization/quantization.py:117-148, 244-275, 551-573`:
+
+* ``decode`` has two paths: a gather path for inference and a one-hot einsum
+  path (``decode_onehot``) used inside the training loss, where the gradient
+  w.r.t. the centers then flows through an MXU matmul instead of an XLA
+  scatter.
+* Byte packing/unpacking is pure integer arithmetic with static shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import search
+from . import precision as _precision
+from .types import QuantizerConfig, QuantizerParams, scaled_centers
+
+
+def pack_indexes(indexes: jax.Array, codebook_size: int) -> jax.Array:
+    """Pack (..., nc) indexes into uint8 bytes, combining pairs of codebooks
+    while codebook_size**2 <= 256 (`quantization/quantization.py:266-272`).
+
+    For codebook_size 256 / 16 / 4 / 2 this packs 1 / 2 / 4 / 8 codebook
+    indexes per byte.  The packed value is sum_j cs**j * idx_j over the group.
+    """
+    cs = codebook_size
+    indexes = indexes.astype(jnp.int32)
+    while cs ** 2 <= 256:
+        indexes = indexes[..., 0::2] + cs * indexes[..., 1::2]
+        cs = cs ** 2
+    assert cs <= 256
+    return indexes.astype(jnp.uint8)
+
+
+def unpack_indexes(
+    packed: jax.Array, codebook_size: int, num_codebooks: int
+) -> jax.Array:
+    """Inverse of :func:`pack_indexes`; accepts a last dim of num_codebooks
+    (no-op), or num_codebooks / {2,4,8,16} (packed)
+    (`quantization/quantization.py:551-573`)."""
+    n = packed.shape[-1]
+    packed = packed.astype(jnp.int32)
+    if n == num_codebooks:
+        return packed
+    num_repeats = num_codebooks // n
+    assert num_repeats in (2, 4, 8, 16) and n * num_repeats == num_codebooks
+    powers = codebook_size ** jnp.arange(num_repeats, dtype=jnp.int32)
+    expanded = (packed[..., None] // powers) % codebook_size
+    return expanded.reshape(*packed.shape[:-1], num_codebooks)
+
+
+def encode(
+    params: QuantizerParams,
+    config: QuantizerConfig,
+    x: jax.Array,
+    refine_indexes_iters: int = 5,
+    as_bytes: bool = True,
+) -> jax.Array:
+    """Quantize ``x``: (*, dim) -> (*, nc) int32 indexes, or (*, bytes_per_frame)
+    uint8 when ``as_bytes`` (`quantization/quantization.py:244-275`)."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, config.dim)
+    indexes = search.compute_indexes(params, config, x2, refine_indexes_iters)
+    if as_bytes:
+        indexes = pack_indexes(indexes, config.codebook_size)
+    return indexes.reshape(*lead, -1)
+
+
+def decode_indexes(centers: jax.Array, indexes: jax.Array) -> jax.Array:
+    """Gather-and-sum reconstruction from unpacked (B, nc) indexes
+    (`quantization/quantization.py:136-148`)."""
+    nc = centers.shape[0]
+    chosen = centers[jnp.arange(nc)[None, :], indexes]  # (B, nc, dim)
+    return chosen.sum(axis=1)
+
+
+def decode_onehot(centers: jax.Array, indexes: jax.Array) -> jax.Array:
+    """One-hot-matmul reconstruction; numerically identical to
+    :func:`decode_indexes` but differentiates into an MXU matmul for the
+    gradient w.r.t. ``centers`` (used by the training loss)."""
+    nc, cs, _ = centers.shape
+    onehot = jax.nn.one_hot(indexes, cs, dtype=centers.dtype)  # (B, nc, cs)
+    return jnp.einsum(
+        "bnk,nkd->bd",
+        onehot,
+        centers,
+        precision=_precision.MATMUL_PRECISION,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def decode(
+    params: QuantizerParams, config: QuantizerConfig, indexes: jax.Array
+) -> jax.Array:
+    """Reconstruct (*, dim) from (possibly byte-packed) indexes
+    (`quantization/quantization.py:117-148`)."""
+    lead = indexes.shape[:-1]
+    idx = indexes.reshape(-1, indexes.shape[-1])
+    idx = unpack_indexes(idx, config.codebook_size, config.num_codebooks)
+    centers = scaled_centers(params, config.scale_speed)
+    return decode_indexes(centers, idx).reshape(*lead, config.dim)

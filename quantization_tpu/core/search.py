@@ -1,0 +1,224 @@
+"""Index search: initial logits argmax + iterative beam-search refinement.
+
+This re-designs the reference's `_refine_indexes`
+(`quantization/quantization.py:308-548`) for TPU/XLA:
+
+* The reference drives a data-independent ``while True`` loop in Python whose
+  (N, K, L) schedule depends only on (num_codebooks, codebook_size).  Here the
+  schedule is computed at trace time and the loop is **statically unrolled**,
+  so XLA sees a fixed DAG of matmuls / top-k / gathers with static shapes.
+* ``torch.sort`` + slice (`quantization/quantization.py:474-478`) becomes
+  ``jax.lax.top_k`` (only the best K_cutoff entries are ever used).
+* The lazy ``gather_deltas`` closures (`quantization/quantization.py:436-439,
+  538-541`) are kept: the (B, N, K, dim) delta tensor is only materialized at
+  size K = K_cutoff, never at K = codebook_size or K = K**2.
+* All contractions use explicit f32 accumulation so they map onto the MXU
+  cleanly in bf16 input mode.
+
+The algorithm itself (see the reference's derivation at
+`quantization/quantization.py:342-380, 523-535`): maintain N K-way choices,
+each covering L codebooks.  Alternate pruning (keep the top K_cutoff options
+per choice) and combining pairs of choices (N -> N/2, K -> K^2, L -> 2L) using
+the recombination identity
+
+    new_sumsq = even_sumsq + odd_sumsq - x_err_sumsq + 2 <even_delta, odd_delta>
+
+until a single best combination remains.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import precision as _precision
+from .types import QuantizerConfig, QuantizerParams, scaled_centers
+
+
+def k_cutoff_schedule(codebook_size: int, L: int) -> int:
+    """Pruning width.  Starts at 8 (codebook_size <= 16) or 16, doubles every
+    time L quadruples, capped at 128 (`quantization/quantization.py:453-463`)."""
+    k = 8 if codebook_size <= 16 else 16
+    l = L
+    while l >= 4:
+        l //= 4
+        k *= 2
+    return min(k, 128)
+
+
+def search_plan(num_codebooks: int, codebook_size: int) -> List[Tuple[str, int, int, int]]:
+    """The static (op, N, K, L) schedule executed by :func:`refine_indexes`.
+
+    Purely a function of (num_codebooks, codebook_size); exposed for tests and
+    for the Pallas kernel generator, which compiles one kernel per plan.
+    """
+    plan = []
+    N, K, L = num_codebooks, codebook_size, 1
+    cs = codebook_size
+    while True:
+        kc = k_cutoff_schedule(cs, L)
+        if N == 1 and K == 1:
+            plan.append(("done", N, K, L))
+            return plan
+        elif K > kc or N == 1:
+            new_k = 1 if N == 1 else kc
+            plan.append(("prune", N, new_k, L))
+            K = new_k
+        else:
+            plan.append(("combine", N // 2, K * K, L * 2))
+            N, K, L = N // 2, K * K, L * 2
+
+
+def compute_logits(params: QuantizerParams, config: QuantizerConfig, x: jax.Array) -> jax.Array:
+    """Index-prediction logits: ``to_logits(exp(logits_scale*speed) * x)``
+    (`quantization/quantization.py:277-279`).  Returns (B, nc, cs)."""
+    scale = jnp.exp(params.logits_scale * config.scale_speed)
+    logits = (
+        jnp.dot(
+            scale * x,
+            params.to_logits_w.T,
+            precision=_precision.MATMUL_PRECISION,
+            preferred_element_type=jnp.float32,
+        )
+        + params.to_logits_b
+    )
+    return logits.reshape(x.shape[0], config.num_codebooks, config.codebook_size)
+
+
+def refine_indexes(centers: jax.Array, x: jax.Array, indexes: jax.Array) -> jax.Array:
+    """One refinement pass over all codebook choices.
+
+    Args:
+      centers: (nc, cs, dim) *scaled* codebook centers.
+      x: (B, dim) frames being quantized.
+      indexes: (B, nc) current integer choices in [0, cs).
+
+    Returns:
+      (B, nc) int32 improved choices.  Not guaranteed monotone, but in
+      practice reduces the reconstruction error (same contract as
+      `quantization/quantization.py:312-326`).
+    """
+    nc, cs, dim = centers.shape
+    B = x.shape[0]
+    indexes = indexes.astype(jnp.int32)
+
+    # old_centers[b, n] = centers[n, indexes[b, n]]
+    old_centers = centers[jnp.arange(nc)[None, :], indexes]  # (B, nc, dim)
+    x_err = old_centers.sum(axis=1) - x  # (B, dim)
+    # x_remaining[b, n] = x_err[b] - old_centers[b, n]: the error with codebook
+    # n's contribution removed (`quantization/quantization.py:403-407`).
+    x_remaining = x_err[:, None, :] - old_centers  # (B, nc, dim)
+
+    x_remaining_sumsq = jnp.sum(x_remaining * x_remaining, axis=-1)  # (B, nc)
+    centers_sumsq = jnp.sum(centers * centers, axis=-1)  # (nc, cs)
+    # Batched (B, dim) x (dim, cs) per codebook: the MXU-friendly setup matmul
+    # (`quantization/quantization.py:413-416`).
+    cross = jnp.einsum(
+        "bnd,nkd->bnk",
+        x_remaining,
+        centers,
+        precision=_precision.MATMUL_PRECISION,
+        preferred_element_type=jnp.float32,
+    )
+    cur_sumsq = x_remaining_sumsq[:, :, None] + centers_sumsq[None] + 2.0 * cross
+    x_err_sumsq = jnp.sum(x_err * x_err, axis=-1)[:, None, None]  # (B, 1, 1)
+
+    N, K, L = nc, cs, 1
+    # cur_indexes[b, n, k, l]: codebook indexes of the k'th option of choice n.
+    cur_indexes = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[None, None, :, None], (B, N, K, 1)
+    )
+    cur_deltas = None  # (B, N, K, dim) when materialized
+
+    # Lazy delta materialization for the first prune: deltas are
+    # centers[n, sel] - old_centers[b, n]  (`quantization/quantization.py:436-439`).
+    def _gather_initial(sel):  # sel: (B, N, new_k)
+        g = centers[jnp.arange(N)[None, :, None], sel]  # (B, N, new_k, dim)
+        return g - old_centers[:, :, None, :]
+
+    gather_deltas = _gather_initial
+
+    while True:
+        kc = k_cutoff_schedule(cs, L)
+        if N == 1 and K == 1:
+            return cur_indexes[:, 0, 0, :]  # (B, L) == (B, nc)
+        elif K > kc or N == 1:
+            new_k = 1 if N == 1 else kc
+            # top_k of the negated error == the new_k best (lowest-error) options.
+            neg_sumsq, sel = jax.lax.top_k(-cur_sumsq, new_k)  # (B, N, new_k)
+            cur_sumsq = -neg_sumsq
+            cur_indexes = jnp.take_along_axis(cur_indexes, sel[..., None], axis=2)
+            if gather_deltas is None:
+                cur_deltas = jnp.take_along_axis(cur_deltas, sel[..., None], axis=2)
+            else:
+                cur_deltas = gather_deltas(sel)
+                gather_deltas = None
+            K = new_k
+        else:
+            # Combine adjacent pairs of choices (`quantization/quantization.py:504-547`).
+            if cur_deltas is None:
+                # First op is a combine (codebook_size <= 8, below the initial
+                # K_cutoff): materialize all deltas.  NB the reference has a
+                # latent NameError on this path (`quantization/quantization.py:506`
+                # reads cur_deltas, which the `if True:` branch at :399 never
+                # defines); it never triggers there because shipped configs use
+                # codebook_size in {16, 256}.  We support small codebooks.
+                all_sel = jnp.broadcast_to(
+                    jnp.arange(K, dtype=jnp.int32)[None, None, :], (B, N, K)
+                )
+                cur_deltas = gather_deltas(all_sel)
+                gather_deltas = None
+            even_d, odd_d = cur_deltas[:, 0::2], cur_deltas[:, 1::2]
+            even_i, odd_i = cur_indexes[:, 0::2], cur_indexes[:, 1::2]
+            even_s, odd_s = cur_sumsq[:, 0::2], cur_sumsq[:, 1::2]
+            nN, nK, nL = N // 2, K * K, L * 2
+
+            # Combined option k = k_even * K + k_odd; even varies slowly.
+            ei = jnp.broadcast_to(even_i[:, :, :, None, :], (B, nN, K, K, L))
+            oi = jnp.broadcast_to(odd_i[:, :, None, :, :], (B, nN, K, K, L))
+            cur_indexes = jnp.concatenate(
+                [ei.reshape(B, nN, nK, L), oi.reshape(B, nN, nK, L)], axis=3
+            )
+
+            # Recombination identity: (a+b+c)^2 = (a+b)^2 + (a+c)^2 - a^2 + 2bc
+            # with a = x_err, b = even_delta, c = odd_delta
+            # (`quantization/quantization.py:523-535`).
+            bc = jnp.einsum(
+                "bnkd,bnjd->bnkj",
+                even_d,
+                odd_d,
+                precision=_precision.MATMUL_PRECISION,
+                preferred_element_type=jnp.float32,
+            )
+            cur_sumsq = (
+                even_s[:, :, :, None] + odd_s[:, :, None, :] + 2.0 * bc
+            ).reshape(B, nN, nK) - x_err_sumsq
+
+            def _gather_combined(sel, even_d=even_d, odd_d=odd_d, saved_k=K):
+                ge = jnp.take_along_axis(even_d, (sel // saved_k)[..., None], axis=2)
+                go = jnp.take_along_axis(odd_d, (sel % saved_k)[..., None], axis=2)
+                return ge + go
+
+            gather_deltas = _gather_combined
+            cur_deltas = None
+            N, K, L = nN, nK, nL
+
+
+def compute_indexes(
+    params: QuantizerParams,
+    config: QuantizerConfig,
+    x: jax.Array,
+    refine_indexes_iters: int = 3,
+) -> jax.Array:
+    """Deterministic encoding of ``x`` to (B, nc) int32 codebook indexes:
+    argmax of the prediction logits followed by ``refine_indexes_iters``
+    refinement passes (`quantization/quantization.py:281-305`)."""
+    assert x.ndim == 2 and x.shape[1] == config.dim, x.shape
+    logits = compute_logits(params, config, x)
+    indexes = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    centers = scaled_centers(params, config.scale_speed)
+    for _ in range(refine_indexes_iters):
+        indexes = refine_indexes(centers, x, indexes)
+    return indexes

@@ -1,0 +1,165 @@
+"""Object-oriented ``Quantizer`` wrapper with the reference's API surface.
+
+Mirrors `quantization/quantization.py:16-573` method-for-method (``encode``,
+``decode``, ``compute_loss``, ``get_product_quantizer``, ``get_centers``,
+``get_data_mean``, ``get_id``, ``show_init_invocation``,
+``compute_codebook_correlations``) but is a thin stateful shell around the
+functional core: every compute method dispatches to a cached ``jax.jit`` of a
+pure function, keyed on the static (config, static-arg) tuple.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import core
+from ..core.types import QuantizerConfig, QuantizerLosses, QuantizerParams
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_encode(config: QuantizerConfig, refine_iters: int, as_bytes: bool):
+    def fn(params, x):
+        return core.encode(params, config, x, refine_iters, as_bytes)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_decode(config: QuantizerConfig, packed_width: int):
+    del packed_width  # part of the cache key via input shape anyway
+
+    def fn(params, indexes):
+        return core.decode(params, config, indexes)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_compute_loss(config: QuantizerConfig, refine_iters: int):
+    def fn(params, x):
+        return core.compute_loss(params, config, x, refine_iters)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_correlations(config: QuantizerConfig):
+    def fn(params):
+        return core.codebook_correlations(params, config)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_product(config: QuantizerConfig):
+    def fn(params):
+        return core.product_params(params, config)
+
+    return jax.jit(fn)
+
+
+class Quantizer:
+    """Trainable multi-codebook ("direct-sum") vector quantizer.
+
+    Encodes a (*, dim) vector into num_codebooks integer indexes (optionally
+    packed into bytes); reconstruction is the sum of the selected codewords.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        codebook_size: int,
+        num_codebooks: int,
+        *,
+        key: Optional[jax.Array] = None,
+        params: Optional[QuantizerParams] = None,
+        id_str: Optional[str] = None,
+        scale_speed: float = 10.0,
+    ):
+        self.config = QuantizerConfig(
+            dim=dim,
+            codebook_size=codebook_size,
+            num_codebooks=num_codebooks,
+            scale_speed=scale_speed,
+        )
+        if params is None:
+            if key is None:
+                key = jax.random.PRNGKey(
+                    int.from_bytes(__import__("os").urandom(4), "little")
+                )
+            params = core.init_quantizer_params(key, self.config)
+        self.params = params
+        # 8-hex-char identity, round-trips through save/load
+        # (`quantization/quantization.py:49-59`).
+        self.id_str = id_str if id_str is not None else core.random_id()
+
+    # -- introspection ------------------------------------------------------
+
+    @property
+    def dim(self) -> int:
+        return self.config.dim
+
+    @property
+    def codebook_size(self) -> int:
+        return self.config.codebook_size
+
+    @property
+    def num_codebooks(self) -> int:
+        return self.config.num_codebooks
+
+    def get_id(self) -> str:
+        return self.id_str
+
+    def show_init_invocation(self) -> str:
+        return (
+            f"quantization_tpu.Quantizer(dim={self.dim}, "
+            f"codebook_size={self.codebook_size}, num_codebooks={self.num_codebooks})"
+        )
+
+    def get_centers(self) -> jax.Array:
+        return core.scaled_centers(self.params, self.config.scale_speed)
+
+    def get_data_mean(self) -> jax.Array:
+        return core.data_mean(self.params, self.config.scale_speed)
+
+    # -- compute ------------------------------------------------------------
+
+    def encode(
+        self, x: jax.Array, refine_indexes_iters: int = 5, as_bytes: bool = True
+    ) -> jax.Array:
+        x = jnp.asarray(x)
+        return _jit_encode(self.config, refine_indexes_iters, as_bytes)(
+            self.params, x
+        )
+
+    def decode(self, indexes: jax.Array) -> jax.Array:
+        indexes = jnp.asarray(indexes)
+        return _jit_decode(self.config, indexes.shape[-1])(self.params, indexes)
+
+    def compute_loss(
+        self, x: jax.Array, refine_indexes_iters: int = 0
+    ) -> QuantizerLosses:
+        x = jnp.asarray(x)
+        return _jit_compute_loss(self.config, refine_indexes_iters)(self.params, x)
+
+    def compute_codebook_correlations(self) -> jax.Array:
+        return _jit_correlations(self.config)(self.params)
+
+    def get_product_quantizer(self) -> "Quantizer":
+        """New Quantizer with codebook_size**2 / num_codebooks//2, each output
+        codebook formed from sums of pairs of input codebooks
+        (`quantization/quantization.py:81-112`).  Gets a fresh identity, like
+        the reference (which constructs a brand-new module)."""
+        new_config = self.config.product_config()
+        new_params = _jit_product(self.config)(self.params)
+        return Quantizer(
+            new_config.dim,
+            new_config.codebook_size,
+            new_config.num_codebooks,
+            params=new_params,
+            scale_speed=new_config.scale_speed,
+        )

@@ -1,0 +1,73 @@
+"""Property tests for pack/unpack and encode/decode (SURVEY.md section 4 (c))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantization_tpu import core
+from quantization_tpu.models.quantizer import Quantizer
+
+
+@pytest.mark.parametrize("cs,nc", [(2, 16), (4, 8), (16, 8), (16, 2), (256, 4), (256, 1)])
+def test_pack_unpack_roundtrip(cs, nc):
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, cs, size=(37, nc)), dtype=jnp.int32)
+    packed = core.pack_indexes(idx, cs)
+    assert packed.dtype == jnp.uint8
+    unpacked = core.unpack_indexes(packed, cs, nc)
+    np.testing.assert_array_equal(np.asarray(unpacked), np.asarray(idx))
+
+
+def test_packed_width():
+    # cs=256: 1 index/byte; cs=16: 2; cs=4: 4; cs=2: 8
+    for cs, nc, width in [(256, 8, 8), (16, 8, 4), (4, 8, 2), (2, 8, 1)]:
+        idx = jnp.zeros((3, nc), dtype=jnp.int32)
+        assert core.pack_indexes(idx, cs).shape == (3, width)
+
+
+@pytest.mark.parametrize("cs,nc,dim", [(16, 8, 64), (256, 4, 32)])
+def test_decode_gather_equals_onehot(cs, nc, dim):
+    key = jax.random.PRNGKey(1)
+    config = core.QuantizerConfig(dim=dim, codebook_size=cs, num_codebooks=nc)
+    params = core.init_quantizer_params(key, config)
+    centers = core.scaled_centers(params, config.scale_speed)
+    idx = jax.random.randint(jax.random.PRNGKey(2), (19, nc), 0, cs)
+    a = core.decode_indexes(centers, idx)
+    b = core.decode_onehot(centers, idx)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_decode_accepts_packed_and_unpacked():
+    q = Quantizer(dim=32, codebook_size=16, num_codebooks=8, key=jax.random.PRNGKey(3))
+    x = jax.random.normal(jax.random.PRNGKey(4), (11, 32))
+    codes_bytes = q.encode(x, refine_indexes_iters=1, as_bytes=True)
+    codes_int = q.encode(x, refine_indexes_iters=1, as_bytes=False)
+    assert codes_bytes.shape == (11, 4) and codes_bytes.dtype == jnp.uint8
+    assert codes_int.shape == (11, 8)
+    np.testing.assert_allclose(
+        np.asarray(q.decode(codes_bytes)),
+        np.asarray(q.decode(codes_int)),
+        rtol=1e-5,
+        atol=1e-5,
+    )
+
+
+def test_encode_preserves_leading_shape():
+    q = Quantizer(dim=16, codebook_size=16, num_codebooks=4, key=jax.random.PRNGKey(5))
+    x = jax.random.normal(jax.random.PRNGKey(6), (3, 5, 16))
+    codes = q.encode(x, refine_indexes_iters=0)
+    assert codes.shape == (3, 5, 2)
+    recon = q.decode(codes)
+    assert recon.shape == (3, 5, 16)
+
+
+def test_encode_decode_idempotence():
+    # encode(decode(encode(x))) == encode(x): re-encoding a reconstruction
+    # must return the same codes (the reconstruction is exactly representable).
+    q = Quantizer(dim=24, codebook_size=16, num_codebooks=4, key=jax.random.PRNGKey(7))
+    x = jax.random.normal(jax.random.PRNGKey(8), (50, 24))
+    codes = q.encode(x, refine_indexes_iters=3)
+    recon = q.decode(codes)
+    codes2 = q.encode(recon, refine_indexes_iters=3)
+    np.testing.assert_array_equal(np.asarray(codes), np.asarray(codes2))
