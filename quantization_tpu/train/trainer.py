@@ -1,0 +1,335 @@
+"""Two-phase quantizer trainer.
+
+TPU-native counterpart of the reference ``QuantizerTrainer``
+(`quantization/quantization.py:577-742`): train with codebook_size=16 and
+num_codebooks = 2*bytes_per_frame for ``phase_one_iters``, then product pairs
+of codebooks (codebook_size=256, num_codebooks = bytes_per_frame) and train
+``phase_two_iters`` more.
+
+Design differences from the reference, driven by XLA's compile model:
+
+* The training step is a pure jitted function ``(params, opt_state, x, lr) ->
+  (params, opt_state, losses)`` with buffer donation; one compiled program
+  per (config, refine_iters) pair.  The per-step "2 refine iters with
+  probability 0.5" (`quantization/quantization.py:625,651`) selects between
+  two compiled programs from a host-side PRNG instead of branching in-graph.
+* torch Adam + StepLR becomes ``optax.add_decayed_weights`` (L2-into-Adam, as
+  torch's ``weight_decay`` is) + ``optax.scale_by_adam``; the halving StepLR
+  schedule is computed host-side and fed in as a scalar, so no recompiles.
+* The phase transition swaps parameter *shapes*; phases are two separate
+  compiled programs connected by the growth transform
+  (`core.growth.product_params`).
+* Optional ``jax.sharding.Mesh`` for data parallelism: parameters replicated,
+  frames sharded over the 'data' axis; GSPMD inserts the gradient psum.
+* Unlike the reference, the full trainer state (params, Adam moments,
+  iteration counter, RNG) can be checkpointed and resumed mid-phase.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import math
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import core
+from ..core.types import QuantizerConfig, QuantizerParams
+from ..models.quantizer import Quantizer
+from ..parallel.mesh import shard_batch, shard_params
+
+logger = logging.getLogger(__name__)
+
+
+def make_optimizer() -> optax.GradientTransformation:
+    """Adam(0.9, 0.98, eps=1e-9) with L2 weight decay 1e-6 folded into the
+    gradient, exactly as ``torch.optim.Adam(weight_decay=1e-6)`` does
+    (`quantization/quantization.py:722-725`).  The learning rate is applied
+    outside (host-scheduled scalar)."""
+    return optax.chain(
+        optax.add_decayed_weights(1.0e-6),
+        optax.scale_by_adam(b1=0.9, b2=0.98, eps=1e-9),
+    )
+
+
+def total_loss(losses: core.QuantizerLosses, entropy_scale: float = 0.01):
+    """recon + logprob + entropy_scale * logits_entropy
+    (`quantization/quantization.py:682,708-710`)."""
+    return (
+        losses.rel_reconstruction_loss
+        + losses.logprob_loss
+        + entropy_scale * losses.logits_entropy_loss
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_train_step(config: QuantizerConfig, refine_iters: int):
+    """One compiled program per (config, refine_iters).  Sharding is
+    placement-driven: inputs pre-placed via ``parallel.mesh`` shardings and
+    GSPMD propagates (inserting the gradient psum over 'data' and the
+    contraction collectives over 'model')."""
+    tx = make_optimizer()
+
+    def step(params, opt_state, x, lr):
+        def loss_fn(p):
+            losses = core.compute_loss(p, config, x, refine_iters)
+            return total_loss(losses), losses
+
+        grads, losses = jax.grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p - lr * u, params, updates
+        )
+        return params, opt_state, losses
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_eval_loss(config: QuantizerConfig, refine_iters: int):
+    def fn(params, x):
+        return core.compute_loss(params, config, x, refine_iters)
+
+    return jax.jit(fn)
+
+
+class QuantizerTrainer:
+    """Usage (same lifecycle as `quantization/quantization.py:604-611`)::
+
+        trainer = QuantizerTrainer(dim=512, bytes_per_frame=8)
+        while not trainer.done():
+            trainer.step(x)        # x: (*, dim) fresh minibatch
+        quantizer = trainer.get_quantizer()
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        bytes_per_frame: int,
+        device=None,  # accepted for API parity; placement is managed by JAX
+        phase_one_iters: int = 10000,
+        phase_two_iters: int = 10000,
+        lr: float = 0.005,
+        *,
+        seed: Optional[int] = None,
+        two_iter_prob: float = 0.5,
+        entropy_scale: float = 0.01,
+        diagnostics: bool = True,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ):
+        assert bytes_per_frame in (1, 2, 4, 8, 16, 32), bytes_per_frame
+        del device
+        self.phase_one_iters = phase_one_iters
+        self.phase_two_iters = phase_two_iters
+        self.cur_iter = 0
+        self.lr = lr
+        self.two_iter_prob = two_iter_prob
+        self.entropy_scale = entropy_scale
+        self.diagnostics = diagnostics
+        self.mesh = mesh
+
+        if seed is None:
+            seed = int.from_bytes(__import__("os").urandom(4), "little")
+        self._seed = seed
+        self._rng = np.random.default_rng(seed)
+
+        # Phase 1: codebook_size=16, num_codebooks = 2 * bytes_per_frame
+        # (`quantization/quantization.py:627-628`).
+        self.config = QuantizerConfig(
+            dim=dim, codebook_size=16, num_codebooks=bytes_per_frame * 2
+        )
+        self.params = core.init_quantizer_params(
+            jax.random.PRNGKey(self._rng.integers(0, 2**31)), self.config
+        )
+        if mesh is not None:
+            self.params = shard_params(self.params, mesh)
+        self.opt_state = make_optimizer().init(self.params)
+        self.start_time = time.time()
+        self._done_logged = False
+
+    # ------------------------------------------------------------------ API
+
+    def done(self) -> bool:
+        ans = self.cur_iter > self.phase_one_iters + self.phase_two_iters
+        if ans and not self._done_logged:
+            elapsed = time.time() - self.start_time
+            logger.info(
+                "Elapsed time, training model of dim=%d, num_codebooks=%d, "
+                "codebook_size=%d, is: %.2f seconds.",
+                self.config.dim,
+                self.config.num_codebooks,
+                self.config.codebook_size,
+                elapsed,
+            )
+            self._done_logged = True
+        return ans
+
+    def get_quantizer(self) -> Quantizer:
+        assert self.cur_iter >= self.phase_one_iters + self.phase_two_iters
+        return Quantizer(
+            self.config.dim,
+            self.config.codebook_size,
+            self.config.num_codebooks,
+            params=self.params,
+        )
+
+    def step(self, x) -> None:
+        """One optimization step on a (*, dim) minibatch."""
+        x = jnp.asarray(x, dtype=jnp.float32).reshape(-1, self.config.dim)
+        if self.mesh is not None:
+            x = shard_batch(x, self.mesh)
+        num_iters = 2 if self._rng.random() < self.two_iter_prob else 1
+        lr = self._lr_for_iter(self.cur_iter)
+        train_step = _make_train_step(self.config, num_iters)
+        self.params, self.opt_state, losses = train_step(
+            self.params, self.opt_state, x, jnp.float32(lr)
+        )
+
+        if self.diagnostics and self.cur_iter % 200 == 0:
+            self._log_diagnostics(x, losses)
+        if self.diagnostics and self.cur_iter % 2000 == 0 and self.cur_iter > 0:
+            corr = core.codebook_correlations(self.params, self.config)
+            logger.info("correlations = %s", np.asarray(corr))
+
+        if self.cur_iter == self.phase_one_iters:
+            self._begin_second_phase()
+        self.cur_iter += 1
+
+    # ------------------------------------------------------------- internals
+
+    def _lr_for_iter(self, cur_iter: int) -> float:
+        """torch StepLR(step_size=phase_iters/4, gamma=0.5), stepped once per
+        iteration, rebuilt with base lr halved at the phase switch
+        (`quantization/quantization.py:726-738`)."""
+        if cur_iter <= self.phase_one_iters:
+            epoch = cur_iter
+            base = self.lr
+            step_size = self.phase_one_iters / 4
+        else:
+            epoch = cur_iter - self.phase_one_iters - 1
+            base = self.lr * 0.5
+            step_size = self.phase_two_iters / 4
+        return base * 0.5 ** math.floor(epoch / step_size)
+
+    def _begin_second_phase(self) -> None:
+        """Swap in the product quantizer, halve the base lr, reset the
+        optimizer state (`quantization/quantization.py:732-738`)."""
+        self.params = core.product_params(self.params, self.config)
+        self.config = self.config.product_config()
+        if self.mesh is not None:
+            self.params = shard_params(self.params, self.mesh)
+        self.opt_state = make_optimizer().init(self.params)
+
+    def _log_diagnostics(self, x, losses) -> None:
+        det = [
+            float(
+                _make_eval_loss(self.config, j)(
+                    self.params, x
+                ).rel_reconstruction_loss
+            )
+            for j in range(6)
+        ]
+        phase = 1 if self.cur_iter <= self.phase_one_iters else 2
+        i = (
+            self.cur_iter - self.phase_one_iters
+            if phase > 1
+            else self.cur_iter
+        )
+        logger.info(
+            "phase=%d/2, iter=%d, dim,nc,csz=%d,%d,%d, loss_per_iter=%s, "
+            "logprob_loss=%.3f, logits_entropy_loss=%.3f, index_entropy_loss=%.3f",
+            phase,
+            i,
+            self.config.dim,
+            self.config.num_codebooks,
+            self.config.codebook_size,
+            ["%.3f" % v for v in det],
+            float(losses.logprob_loss),
+            float(losses.logits_entropy_loss),
+            float(losses.index_entropy_loss),
+        )
+
+    # ----------------------------------------------------------- checkpoint
+
+    def save_checkpoint(self, path) -> None:
+        """Full mid-phase resume state (params, Adam moments, counters) —
+        a capability the reference lacks (SURVEY.md section 5)."""
+        import io
+
+        leaves, treedef = jax.tree_util.tree_flatten(
+            (self.params, self.opt_state)
+        )
+        arrays = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
+        meta = dict(
+            dim=self.config.dim,
+            codebook_size=self.config.codebook_size,
+            num_codebooks=self.config.num_codebooks,
+            cur_iter=self.cur_iter,
+            lr=self.lr,
+            phase_one_iters=self.phase_one_iters,
+            phase_two_iters=self.phase_two_iters,
+            two_iter_prob=self.two_iter_prob,
+            entropy_scale=self.entropy_scale,
+            rng_state=self._rng.bit_generator.state["state"]["state"],
+            rng_inc=self._rng.bit_generator.state["state"]["inc"],
+        )
+        import json
+
+        buf = io.BytesIO()
+        np.savez(
+            buf,
+            meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+            **arrays,
+        )
+        with open(path, "wb") as f:
+            f.write(buf.getvalue())
+
+    @classmethod
+    def load_checkpoint(cls, path, **kwargs) -> "QuantizerTrainer":
+        import json
+
+        with np.load(path) as z:
+            meta = json.loads(bytes(z["meta"]).decode())
+            leaves = [
+                jnp.asarray(z[f"leaf_{i}"])
+                for i in range(sum(1 for k in z.files if k.startswith("leaf_")))
+            ]
+        bytes_per_frame = (
+            meta["num_codebooks"] // 2
+            if meta["codebook_size"] == 16
+            else meta["num_codebooks"]
+        )
+        self = cls(
+            meta["dim"],
+            bytes_per_frame,
+            phase_one_iters=meta["phase_one_iters"],
+            phase_two_iters=meta["phase_two_iters"],
+            lr=meta["lr"],
+            two_iter_prob=meta["two_iter_prob"],
+            entropy_scale=meta["entropy_scale"],
+            **kwargs,
+        )
+        self.config = QuantizerConfig(
+            dim=meta["dim"],
+            codebook_size=meta["codebook_size"],
+            num_codebooks=meta["num_codebooks"],
+        )
+        # Rebuild the (params, opt_state) pytree with the right structure,
+        # then refill from the checkpoint leaves.
+        params = core.init_quantizer_params(jax.random.PRNGKey(0), self.config)
+        opt_state = make_optimizer().init(params)
+        _, treedef = jax.tree_util.tree_flatten((params, opt_state))
+        self.params, self.opt_state = jax.tree_util.tree_unflatten(
+            treedef, leaves
+        )
+        self.cur_iter = meta["cur_iter"]
+        state = self._rng.bit_generator.state
+        state["state"]["state"] = meta["rng_state"]
+        state["state"]["inc"] = meta["rng_inc"]
+        self._rng.bit_generator.state = state
+        return self

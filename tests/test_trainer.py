@@ -1,0 +1,122 @@
+"""Trainer tests: two-phase schedule, lr schedule, learning progress,
+mid-phase checkpoint/resume (SURVEY.md sections 2 #9 and 5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantization_tpu import core
+from quantization_tpu.data.synthetic import make_mlp_sampler
+from quantization_tpu.train.trainer import QuantizerTrainer
+
+
+def _rel_err(trainer, x, iters=2):
+    losses = core.compute_loss(trainer.params, trainer.config, x, iters)
+    return float(losses.rel_reconstruction_loss)
+
+
+def test_lr_schedule_matches_steplr():
+    t = QuantizerTrainer(
+        dim=16, bytes_per_frame=2, phase_one_iters=100, phase_two_iters=200,
+        lr=0.004, seed=0, diagnostics=False,
+    )
+    # phase 1: StepLR(step=25, gamma=0.5) from lr0
+    assert t._lr_for_iter(0) == 0.004
+    assert t._lr_for_iter(24) == 0.004
+    assert t._lr_for_iter(25) == 0.002
+    assert t._lr_for_iter(99) == 0.0005
+    assert t._lr_for_iter(100) == 0.004 * 0.5 ** 4  # last phase-1 step
+    # phase 2: base halved, StepLR(step=50) counting from the first phase-2 step
+    assert t._lr_for_iter(101) == 0.002
+    assert t._lr_for_iter(150) == 0.002
+    assert t._lr_for_iter(151) == 0.001
+    assert t._lr_for_iter(300) == 0.002 * 0.5 ** 3
+
+
+def test_two_phase_training_learns():
+    dim, bpf = 32, 2
+    sampler = make_mlp_sampler(dim, jax.random.PRNGKey(0))
+    trainer = QuantizerTrainer(
+        dim=dim,
+        bytes_per_frame=bpf,
+        phase_one_iters=60,
+        phase_two_iters=60,
+        lr=0.01,
+        seed=1,
+        diagnostics=False,
+    )
+    # phase 1 config (`quantization/quantization.py:627-628`)
+    assert trainer.config.codebook_size == 16
+    assert trainer.config.num_codebooks == 2 * bpf
+
+    key = jax.random.PRNGKey(2)
+    x_eval = sampler(jax.random.PRNGKey(3), 256)
+    err_start = _rel_err(trainer, x_eval)
+
+    i = 0
+    saw_phase2 = False
+    while not trainer.done():
+        key, sub = jax.random.split(key)
+        trainer.step(sampler(sub, 256))
+        i += 1
+        if trainer.config.codebook_size == 256:
+            saw_phase2 = True
+    assert saw_phase2
+    assert i == 121  # p1 + p2 + 1 steps (`done` is cur_iter > p1 + p2)
+    assert trainer.config.num_codebooks == bpf
+
+    err_end = _rel_err(trainer, x_eval)
+    assert err_end < err_start * 0.8, (err_start, err_end)
+
+    q = trainer.get_quantizer()
+    codes = q.encode(x_eval, refine_indexes_iters=2)
+    assert codes.shape == (256, bpf) and codes.dtype == jnp.uint8
+    recon = q.decode(codes)
+    rel = float(
+        jnp.sum((recon - x_eval) ** 2)
+        / jnp.sum((x_eval - q.get_data_mean()) ** 2)
+    )
+    assert abs(rel - err_end) < 0.05, (rel, err_end)
+
+
+def test_get_quantizer_asserts_before_done():
+    t = QuantizerTrainer(
+        dim=16, bytes_per_frame=1, phase_one_iters=5, phase_two_iters=5,
+        seed=0, diagnostics=False,
+    )
+    with pytest.raises(AssertionError):
+        t.get_quantizer()
+
+
+def test_checkpoint_resume_mid_phase(tmp_path):
+    dim = 16
+    sampler = make_mlp_sampler(dim, jax.random.PRNGKey(5))
+    kw = dict(
+        dim=dim, bytes_per_frame=1, phase_one_iters=20, phase_two_iters=20,
+        lr=0.01, seed=7, diagnostics=False,
+    )
+    t1 = QuantizerTrainer(**kw)
+    key = jax.random.PRNGKey(6)
+    batches = []
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        batches.append(sampler(sub, 64))
+    for b in batches[:12]:
+        t1.step(b)
+    path = tmp_path / "ckpt.npz"
+    t1.save_checkpoint(path)
+
+    # continue t1; resume t2 from checkpoint with the same remaining batches
+    t2 = QuantizerTrainer.load_checkpoint(path, diagnostics=False)
+    assert t2.cur_iter == 12
+    for b in batches[12:]:
+        t1.step(b)
+        t2.step(b)
+    assert t1.cur_iter == t2.cur_iter
+    assert t1.config == t2.config
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(t1.params),
+        jax.tree_util.tree_leaves(t2.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-6)
