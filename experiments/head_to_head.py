@@ -1,0 +1,95 @@
+"""Head-to-head quality parity: torch reference vs quantization_tpu on
+identical data distribution and identical (shortened) schedule.
+
+The reference publishes no Quantizer-quality numbers (BASELINE.md), so the
+parity bar is measured directly: train both implementations with the same
+dim / bytes_per_frame / iteration budget / batch size on the same MLP-output
+distribution, and compare the final relative reconstruction error (identical
+denominator: sum((x - data_mean)^2)).
+
+Usage: python experiments/head_to_head.py [dim] [bpf] [p1] [p2] [batch]
+Writes experiments/head_to_head_<config>.json
+"""
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+REFERENCE = "/root/reference"
+
+dim = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+bpf = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+p1 = int(sys.argv[3]) if len(sys.argv) > 3 else 500
+p2 = int(sys.argv[4]) if len(sys.argv) > 4 else 500
+batch = int(sys.argv[5]) if len(sys.argv) > 5 else 300
+EVAL_N = 2048
+
+import numpy as np
+
+# ---------------------------------------------------------------- data
+# One fixed stream of numpy batches consumed by BOTH trainers.
+import jax
+
+from quantization_tpu.data.synthetic import make_mlp_sampler
+
+sampler = make_mlp_sampler(dim, jax.random.PRNGKey(42))
+key = jax.random.PRNGKey(1)
+batches = []
+for i in range(p1 + p2 + 1):
+    key, sub = jax.random.split(key)
+    batches.append(np.asarray(sampler(sub, batch)))
+x_eval = np.asarray(sampler(jax.random.PRNGKey(2), EVAL_N))
+print(f"data ready: {len(batches)} batches of {batch}x{dim}", flush=True)
+
+# ---------------------------------------------------------------- ours
+from quantization_tpu.train.trainer import QuantizerTrainer as OurTrainer
+
+t0 = time.time()
+ours = OurTrainer(dim=dim, bytes_per_frame=bpf, phase_one_iters=p1,
+                  phase_two_iters=p2, lr=0.005, seed=0, diagnostics=False)
+i = 0
+while not ours.done():
+    ours.step(batches[i]); i += 1
+q = ours.get_quantizer()
+recon = np.asarray(q.decode(q.encode(x_eval)))
+mean = np.asarray(q.get_data_mean())
+ours_err = float(((recon - x_eval) ** 2).sum() / ((x_eval - mean) ** 2).sum())
+ours_time = time.time() - t0
+print(f"ours: rel_err={ours_err:.4f} wall={ours_time:.0f}s", flush=True)
+
+# ------------------------------------------------------------- reference
+import importlib.util
+import torch
+
+spec = importlib.util.spec_from_file_location(
+    "ref_quantization", REFERENCE + "/quantization/quantization.py")
+refq = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(refq)
+
+torch.manual_seed(0)
+torch.set_num_threads(1)
+t0 = time.time()
+ref = refq.QuantizerTrainer(dim=dim, bytes_per_frame=bpf, device=torch.device("cpu"),
+                            phase_one_iters=p1, phase_two_iters=p2, lr=0.005)
+i = 0
+while not ref.done():
+    ref.step(torch.from_numpy(batches[i]).float()); i += 1
+    if i % 200 == 0:
+        print(f"  ref iter {i} ({time.time()-t0:.0f}s)", flush=True)
+rq = ref.get_quantizer()
+with torch.no_grad():
+    xe = torch.from_numpy(x_eval).float()
+    recon = rq.decode(rq.encode(xe))
+    mean = rq.get_data_mean()
+    ref_err = float(((recon - xe) ** 2).sum() / ((xe - mean) ** 2).sum())
+ref_time = time.time() - t0
+print(f"reference: rel_err={ref_err:.4f} wall={ref_time:.0f}s", flush=True)
+
+result = dict(dim=dim, bytes_per_frame=bpf, p1=p1, p2=p2, batch=batch,
+              ours_rel_err=ours_err, ref_rel_err=ref_err,
+              ratio=ours_err / ref_err,
+              ours_wall_s=ours_time, ref_wall_s=ref_time)
+print(json.dumps(result))
+out = pathlib.Path(__file__).parent / f"head_to_head_d{dim}_b{bpf}_{p1}+{p2}.json"
+out.write_text(json.dumps(result, indent=1))
