@@ -1,0 +1,92 @@
+"""Headline benchmark: bulk-encode throughput on the flagship config.
+
+Measures `encode` (dim=512, 8 bytes/frame: 8 codebooks x 256 entries,
+5 refinement iterations — the defaults at `quantization/quantization.py:245`
+in the reference) in vectors/sec on the available accelerator.
+
+The reference publishes no throughput numbers (SURVEY.md §6); `vs_baseline`
+is therefore measured against the BASELINE.json north-star target of
+100M dim-512 vectors/s per v5p *host* (8 chips), pro-rated to the number of
+local chips actually used, i.e. per-chip target = 12.5M vec/s.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "vec/s", "vs_baseline": N}
+
+Methodology notes:
+* The benchmark chip may sit behind a high-latency tunnel (~25ms dispatch
+  RTT), so we queue many async dispatches and synchronize once; wall time
+  is measured around the whole pipelined stream.
+* First call compiles; compile time is excluded.
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+import jax
+import jax.numpy as jnp
+
+from quantization_tpu import core
+
+DIM = 512
+NUM_CODEBOOKS = 8
+CODEBOOK_SIZE = 256
+REFINE_ITERS = 5
+BATCH = 1 << 13
+NBATCH = 16
+NORTH_STAR_PER_CHIP = 100e6 / 8.0  # v5p host target, pro-rated per chip
+
+
+def main() -> None:
+    config = core.QuantizerConfig(
+        dim=DIM, codebook_size=CODEBOOK_SIZE, num_codebooks=NUM_CODEBOOKS
+    )
+    params = core.init_quantizer_params(jax.random.PRNGKey(0), config)
+
+    enc = jax.jit(
+        lambda p, x: core.encode(
+            p, config, x, refine_indexes_iters=REFINE_ITERS, as_bytes=True
+        )
+    )
+
+    xs = [
+        jax.device_put(
+            jax.random.normal(jax.random.PRNGKey(i + 1), (BATCH, DIM), jnp.float32)
+        )
+        for i in range(NBATCH)
+    ]
+    jax.block_until_ready(xs)
+
+    # Warm-up / compile, forced to completion with a host fetch (on the
+    # tunneled platform, block_until_ready alone has proven unreliable as a
+    # fence, and re-dispatch on identical buffers can be served from a
+    # result cache — so: single timed pass, fresh inputs, full fetch of the
+    # (small, uint8) outputs).
+    import numpy as np
+
+    np.asarray(enc(params, xs[0]))
+
+    t0 = time.perf_counter()
+    outs = [enc(params, x) for x in xs[1:]]  # queue all dispatches
+    for o in outs:
+        np.asarray(o)  # fetch = unambiguous completion fence
+    elapsed = time.perf_counter() - t0
+
+    vec_per_sec = (NBATCH - 1) * BATCH / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "encode_vectors_per_sec_dim512_8B",
+                "value": round(vec_per_sec, 1),
+                "unit": "vec/s",
+                "vs_baseline": round(vec_per_sec / NORTH_STAR_PER_CHIP, 6),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
