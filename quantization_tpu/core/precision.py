@@ -15,7 +15,19 @@ import jax
 # maximum MXU throughput at reduced accuracy.
 MATMUL_PRECISION: jax.lax.Precision = jax.lax.Precision.HIGHEST
 
+# Used by the search's *internal* contractions: one-hot-matmul gathers of
+# deltas and the beam-combine cross products.  These only influence which
+# candidate the beam ranks first (never the reconstruction values), so
+# single-pass bf16 MXU arithmetic is accurate enough; HIGHEST costs 6
+# MXU passes and measured ~1.4x on the whole refine step (v5e).
+SEARCH_INNER_PRECISION: jax.lax.Precision = jax.lax.Precision.DEFAULT
+
 
 def set_matmul_precision(precision) -> None:
     global MATMUL_PRECISION
     MATMUL_PRECISION = jax.lax.Precision(precision)
+
+
+def set_search_inner_precision(precision) -> None:
+    global SEARCH_INNER_PRECISION
+    SEARCH_INNER_PRECISION = jax.lax.Precision(precision)

@@ -87,8 +87,12 @@ def compute_logits(params: QuantizerParams, config: QuantizerConfig, x: jax.Arra
     return logits.reshape(x.shape[0], config.num_codebooks, config.codebook_size)
 
 
-def refine_indexes(centers: jax.Array, x: jax.Array, indexes: jax.Array) -> jax.Array:
-    """One refinement pass over all codebook choices.
+def refine_indexes_reference(
+    centers: jax.Array, x: jax.Array, indexes: jax.Array
+) -> jax.Array:
+    """Readable reference implementation of one refinement pass (kept as the
+    correctness oracle for :func:`refine_indexes`, which computes the same
+    thing with TPU-friendly primitives).
 
     Args:
       centers: (nc, cs, dim) *scaled* codebook centers.
@@ -204,6 +208,175 @@ def refine_indexes(centers: jax.Array, x: jax.Array, indexes: jax.Array) -> jax.
             gather_deltas = _gather_combined
             cur_deltas = None
             N, K, L = nN, nK, nL
+
+
+def _approx_min_k(sumsq: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """Exact bottom-k of (B, N, K) along the last axis via the TPU PartialReduce
+    unit.  ``jax.lax.approx_min_k`` with ``recall_target=1.0`` is exact and,
+    on a 2-D operand, ~6x faster than ``top_k`` on a 3-D one (measured on
+    v5e; see experiments/profile_prims2.py)."""
+    B, N, K = sumsq.shape
+    vals, sel = jax.lax.approx_min_k(
+        sumsq.reshape(B * N, K), k, recall_target=1.0
+    )
+    return vals.reshape(B, N, k), sel.reshape(B, N, k).astype(jnp.int32)
+
+
+def _onehot_rows(sel: jax.Array, num_classes: int, dtype) -> jax.Array:
+    """One-hot encode integer selections, for gather-as-MXU-matmul."""
+    return jax.nn.one_hot(sel, num_classes, dtype=dtype)
+
+
+def refine_indexes(centers: jax.Array, x: jax.Array, indexes: jax.Array) -> jax.Array:
+    """One refinement pass; numerically identical option scoring to
+    :func:`refine_indexes_reference` (same (N, K, L) schedule, same
+    recombination identity) but restructured for the TPU:
+
+    * every beam prune is an **exact** ``approx_min_k`` (recall_target=1.0)
+      on a 2-D reshape — the PartialReduce unit — instead of sort/top_k;
+      the final N==1 prune is a plain argmin;
+    * every gather of (B, N, K, dim) deltas becomes a one-hot matmul on the
+      MXU (XLA's native gather lowering measured 30x slower);
+    * beam option *identities* are implicit: each stage only records its
+      selection tensor, and the winning per-codebook indexes are recovered
+      by a reverse walk over the (tiny) per-stage selections, eliminating
+      the (B, N, K, L) index bookkeeping tensors entirely (at the final
+      stage the reference materializes (B, 1, K^2, nc) — 256 MB at B=8k).
+
+    May differ from the reference implementation only in tie-breaking among
+    equal-error options.
+    """
+    nc, cs, dim = centers.shape
+    B = x.shape[0]
+    indexes = indexes.astype(jnp.int32)
+    f32 = jnp.float32
+
+    # Setup: identical math to the reference path, with the old-center
+    # gather expressed as a one-hot matmul.
+    onehot_cur = _onehot_rows(indexes, cs, centers.dtype)  # (B, nc, cs)
+    old_centers = jnp.einsum(
+        "bnk,nkd->bnd",
+        onehot_cur,
+        centers,
+        precision=_precision.MATMUL_PRECISION,
+        preferred_element_type=f32,
+    )
+    x_err = old_centers.sum(axis=1) - x  # (B, dim)
+    x_remaining = x_err[:, None, :] - old_centers  # (B, nc, dim)
+    x_remaining_sumsq = jnp.sum(x_remaining * x_remaining, axis=-1)  # (B, nc)
+    centers_sumsq = jnp.sum(centers * centers, axis=-1)  # (nc, cs)
+    cross = jnp.einsum(
+        "bnd,nkd->bnk",
+        x_remaining,
+        centers,
+        precision=_precision.MATMUL_PRECISION,
+        preferred_element_type=f32,
+    )
+    cur_sumsq = x_remaining_sumsq[:, :, None] + centers_sumsq[None] + 2.0 * cross
+    x_err_sumsq = jnp.sum(x_err * x_err, axis=-1)[:, None, None]  # (B, 1, 1)
+
+    N, K, L = nc, cs, 1
+    # Delta-state machine mirroring the reference's lazy `gather_deltas`
+    # closures (`quantization/quantization.py:436-439, 538-541`), with every
+    # gather expressed as a one-hot MXU matmul:
+    #   "initial": selections index codebooks directly; nothing materialized.
+    #   ("pending", even_d, odd_d, K_old): post-combine; option k of the
+    #       combined choice has delta even_d[k // K_old] + odd_d[k % K_old].
+    #   ("mat", deltas): materialized (B, N, K, dim).
+    # (B, N, K, dim) is only ever materialized at K <= K_cutoff, never at
+    # K = cs or K = K_old**2.
+    delta_state = ("initial",)
+    trace = []  # reverse-walk record: ("prune", sel) / ("combine", K_old)
+
+    def _einsum(spec, a, b):
+        return jnp.einsum(
+            spec,
+            a,
+            b,
+            precision=_precision.SEARCH_INNER_PRECISION,
+            preferred_element_type=f32,
+        )
+
+    def _gather_deltas(state, sel, k_from):
+        """Deltas for the selected options: (B, N, |sel|, dim)."""
+        if state[0] == "initial":
+            picked = _einsum(
+                "bnks,nsd->bnkd", _onehot_rows(sel, k_from, centers.dtype), centers
+            )
+            return picked - old_centers[:, :, None, :]
+        if state[0] == "pending":
+            _, even_d, odd_d, k_old = state
+            ge = _einsum(
+                "bnks,bnsd->bnkd",
+                _onehot_rows(sel // k_old, even_d.shape[2], centers.dtype),
+                even_d,
+            )
+            go = _einsum(
+                "bnks,bnsd->bnkd",
+                _onehot_rows(sel % k_old, odd_d.shape[2], centers.dtype),
+                odd_d,
+            )
+            return ge + go
+        return _einsum(
+            "bnks,bnsd->bnkd", _onehot_rows(sel, k_from, centers.dtype), state[1]
+        )
+
+    def _materialize_all(state, k):
+        """All k options' deltas (only reached at k <= 64, i.e. cs <= 8)."""
+        if state[0] == "initial":
+            return centers[None] - old_centers[:, :, None, :]
+        assert state[0] == "pending"
+        _, even_d, odd_d, k_old = state
+        B_, N_, _, dim_ = even_d.shape
+        return (even_d[:, :, :, None, :] + odd_d[:, :, None, :, :]).reshape(
+            B_, N_, k, dim_
+        )
+
+    while True:
+        kc = k_cutoff_schedule(cs, L)
+        if N == 1 and K == 1:
+            break
+        elif K > kc or N == 1:
+            if N == 1:
+                sel = jnp.argmin(cur_sumsq, axis=-1).astype(jnp.int32)[..., None]
+                trace.append(("prune", sel))
+                K = 1
+                continue  # terminal: no deltas needed after the last prune
+            cur_sumsq, sel = _approx_min_k(cur_sumsq, kc)
+            trace.append(("prune", sel))
+            delta_state = ("mat", _gather_deltas(delta_state, sel, K))
+            K = kc
+        else:
+            if delta_state[0] != "mat":
+                delta_state = ("mat", _materialize_all(delta_state, K))
+            deltas = delta_state[1]
+            even_d, odd_d = deltas[:, 0::2], deltas[:, 1::2]
+            even_s, odd_s = cur_sumsq[:, 0::2], cur_sumsq[:, 1::2]
+            nN, nK, nL = N // 2, K * K, L * 2
+            # Recombination identity (`quantization/quantization.py:523-535`).
+            bc = _einsum("bnkd,bnjd->bnkj", even_d, odd_d)
+            cur_sumsq = (
+                even_s[:, :, :, None] + odd_s[:, :, None, :] + 2.0 * bc
+            ).reshape(B, nN, nK) - x_err_sumsq
+            delta_state = ("pending", even_d, odd_d, K)
+            trace.append(("combine", K))
+            N, K, L = nN, nK, nL
+
+    # Backtrack: recover per-codebook indexes from the recorded selections.
+    # o[b, n] is the option index of choice n; initially (B, 1) from the
+    # final prune, expanding to (B, nc) codebook indexes at the start.
+    op, sel = trace[-1]
+    assert op == "prune" and sel.shape[-1] == 1
+    o = sel[:, :, 0]  # (B, 1)
+    for op, payload in reversed(trace[:-1]):
+        if op == "prune":
+            o = jnp.take_along_axis(payload, o[:, :, None], axis=2)[:, :, 0]
+        else:  # combine with pre-combine width K_old
+            k_old = payload
+            even, odd = o // k_old, o % k_old
+            o = jnp.stack([even, odd], axis=2).reshape(B, -1)
+    assert o.shape == (B, nc), o.shape
+    return o.astype(jnp.int32)
 
 
 def compute_indexes(
