@@ -379,19 +379,93 @@ def refine_indexes(centers: jax.Array, x: jax.Array, indexes: jax.Array) -> jax.
     return o.astype(jnp.int32)
 
 
+def refine_indexes_cd(
+    centers: jax.Array, x: jax.Array, indexes: jax.Array, sweeps: int = 1
+) -> jax.Array:
+    """Exact Gauss-Seidel coordinate descent over codebooks: for each
+    codebook in turn, pick the codeword minimizing the reconstruction error
+    with all other codebooks' current choices held fixed.
+
+    This is the TPU-native refinement: each step is one (B, dim) x (dim, cs)
+    MXU matmul plus an argmin — no sorting, no top-k, no gathers.  It is the
+    same algorithm as the reference prototype's exact refinement
+    (`multi_kmeans.py:199-235`), offered alongside the beam search
+    (:func:`refine_indexes`, `quantization/quantization.py:308-548`).
+    Monotone: the total squared error never increases.
+    """
+    nc, cs, dim = centers.shape
+    B = x.shape[0]
+    indexes = indexes.astype(jnp.int32)
+    f32 = jnp.float32
+
+    onehot = jax.nn.one_hot(indexes, cs, dtype=centers.dtype)  # (B, nc, cs)
+    recon = jnp.einsum(
+        "bnk,nkd->bd",
+        onehot,
+        centers,
+        precision=_precision.MATMUL_PRECISION,
+        preferred_element_type=f32,
+    )
+    err = recon - x  # (B, dim)
+    new_indexes = []
+    for n in range(nc):
+        # Error with codebook n's contribution removed.
+        old_n = jnp.einsum(
+            "bk,kd->bd",
+            onehot[:, n],
+            centers[n],
+            precision=_precision.MATMUL_PRECISION,
+            preferred_element_type=f32,
+        )
+        err_n = err - old_n
+        # ||err_n + c_n(k)||^2 = ||err_n||^2 + ||c_n(k)||^2 + 2 err_n.c_n(k);
+        # the first term is constant in k.
+        scores = jnp.sum(centers[n] * centers[n], axis=-1)[None, :] + 2.0 * jnp.einsum(
+            "bd,kd->bk",
+            err_n,
+            centers[n],
+            precision=_precision.MATMUL_PRECISION,
+            preferred_element_type=f32,
+        )
+        idx_n = jnp.argmin(scores, axis=-1).astype(jnp.int32)  # (B,)
+        oh_n = jax.nn.one_hot(idx_n, cs, dtype=centers.dtype)
+        err = err_n + jnp.einsum(
+            "bk,kd->bd",
+            oh_n,
+            centers[n],
+            precision=_precision.MATMUL_PRECISION,
+            preferred_element_type=f32,
+        )
+        new_indexes.append(idx_n)
+    out = jnp.stack(new_indexes, axis=1)
+    if sweeps > 1:
+        return refine_indexes_cd(centers, x, out, sweeps - 1)
+    return out
+
+
 def compute_indexes(
     params: QuantizerParams,
     config: QuantizerConfig,
     x: jax.Array,
     refine_indexes_iters: int = 3,
+    search: str = "beam",
 ) -> jax.Array:
     """Deterministic encoding of ``x`` to (B, nc) int32 codebook indexes:
     argmax of the prediction logits followed by ``refine_indexes_iters``
-    refinement passes (`quantization/quantization.py:281-305`)."""
+    refinement passes (`quantization/quantization.py:281-305`).
+
+    ``search`` selects the refinement algorithm: "beam" (reference-parity
+    beam search) or "cd" (TPU-native exact coordinate descent, one sweep
+    per iteration)."""
     assert x.ndim == 2 and x.shape[1] == config.dim, x.shape
     logits = compute_logits(params, config, x)
     indexes = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     centers = scaled_centers(params, config.scale_speed)
-    for _ in range(refine_indexes_iters):
-        indexes = refine_indexes(centers, x, indexes)
+    if search == "beam":
+        for _ in range(refine_indexes_iters):
+            indexes = refine_indexes(centers, x, indexes)
+    elif search == "cd":
+        indexes = refine_indexes_cd(centers, x, indexes, sweeps=refine_indexes_iters)
+    else:
+        raise ValueError(f"unknown search method {search!r}")
     return indexes
