@@ -58,12 +58,32 @@ def encode(
     x: jax.Array,
     refine_indexes_iters: int = 5,
     as_bytes: bool = True,
+    search_method: str = "beam",
 ) -> jax.Array:
     """Quantize ``x``: (*, dim) -> (*, nc) int32 indexes, or (*, bytes_per_frame)
-    uint8 when ``as_bytes`` (`quantization/quantization.py:244-275`)."""
+    uint8 when ``as_bytes`` (`quantization/quantization.py:244-275`).
+
+    ``search_method``:
+      * "beam" (default): the reference's pair-tree beam search, bit-matched
+        behavior (`quantization/quantization.py:308-548`).
+      * "seqbeam": the fused Pallas sequential-beam kernel (TPU-only
+        flagship configs, see ops/seqbeam.py) — ~3x faster;
+        ``refine_indexes_iters`` counts beam sweeps (3 sweeps measured
+        within 0.5% relative reconstruction error of "beam" at 5 iters).
+      * "cd": exact coordinate descent (fastest, ~12% worse rel err).
+    """
     lead = x.shape[:-1]
     x2 = x.reshape(-1, config.dim)
-    indexes = search.compute_indexes(params, config, x2, refine_indexes_iters)
+    if search_method == "seqbeam":
+        from ..ops.seqbeam import seqbeam_encode_indexes
+
+        indexes = seqbeam_encode_indexes(
+            params, config, x2, passes=refine_indexes_iters
+        )
+    else:
+        indexes = search.compute_indexes(
+            params, config, x2, refine_indexes_iters, search=search_method
+        )
     if as_bytes:
         indexes = pack_indexes(indexes, config.codebook_size)
     return indexes.reshape(*lead, -1)

@@ -10,17 +10,32 @@ Quality: measured against the reference pair-tree beam search
 (`quantization/quantization.py:308-548`, 5 refinement iterations) on
 trained quantizers, M=16 x 3 passes with an 8-per-parent selection cap is
 within 0.6% relative reconstruction error (dim=64 and dim=512 flagship
-configs; see experiments/seqbeam_quality.py, experiments/seqbeam_chunked.py),
-i.e. inside the 1% parity bar, and M=32 x 3 with exact selection beats it.
+configs; see experiments/seqbeam_quality.py), i.e. inside the 1% parity
+bar, and M=32 x 3 with exact selection beats it.
 
-TPU mapping notes (v5e, Mosaic):
-* rescoring: (M*B_t, dim) x (dim, cs) bf16 matmul, f32 accumulation;
-* beam reorder ("candidate m' continues from parent p"): tpu.dynamic_gather
-  on the (M, B_t*dim) view of the candidate error buffer -- Mosaic only
-  supports same-shape 8-row sublane gathers, so the M=16 reorder is 2x2
-  half-gathers + select;
-* top-R-per-parent selection: iterative masked argmin on the VPU (no sort
-  unit involvement at all);
+TPU mapping notes (v5e, Mosaic), learned the hard way:
+* rescoring is one (M*B_t, dim) x (dim, cs) bf16 MXU matmul per codebook,
+  taken directly on the candidate error buffer; the "remove codebook t's
+  current contribution" term is folded in algebraically
+  (||E - c + w||^2 = ||E||^2 - 2E.c + ||c||^2 + 2(E.w - c.w) + ||w||^2),
+  so no second (M*B_t, dim) buffer is ever materialized;
+* candidate sumsq values are carried across steps: the winning scores of
+  one selection ARE the next step's ||E_m||^2 (no per-step reduction over
+  dim);
+* beam reorder ("candidate m' continues from parent p") is Mosaic's native
+  8-row sublane dynamic_gather on the (M, B_t*dim) view of the error
+  buffer (2x2 half-gathers for M=16), ping-ponged between two buffers in
+  paired codebook steps;
+* selection is iterative masked argmin with the *packed* trick: the lane
+  index is embedded in the 8 low mantissa bits of the (non-negative)
+  score, so each round is ONE cross-lane min instead of two reductions
+  plus two broadcasts (cross-lane reductions are the kernel's true
+  bottleneck -- ~7 VPU passes each; the MXU is essentially idle here);
+* the pass and codebook-pair loops are ``lax.fori_loop``s with
+  dynamic-sublane ref slices: a fully unrolled program OOM-killed the
+  Mosaic compiler;
+* the current solution is carried in a (nc*B_t, 1) column-layout scratch
+  because Mosaic rejects non-128-offset lane slices;
 * the only XLA-side work is the logits-argmax initialisation and byte
   packing.
 """
@@ -39,7 +54,8 @@ from ..core.types import QuantizerConfig, QuantizerParams, scaled_centers
 from ..core import search as _search
 
 _INF = 1e30  # masking constant for iterative argmin
-_BIGI = 1 << 30
+_LANE_BITS = 8
+_LANE_MASK = (1 << _LANE_BITS) - 1
 
 
 def SEQBEAM_SUPPORTED(config: QuantizerConfig) -> bool:
@@ -49,30 +65,46 @@ def SEQBEAM_SUPPORTED(config: QuantizerConfig) -> bool:
         config.codebook_size == 256
         and config.dim % 128 == 0
         and config.dim >= 128
-        and 2 <= config.num_codebooks <= 16
+        and config.num_codebooks in (2, 4, 8, 16)
     )
 
 
-def _row_min_and_pos(s: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Per-row min and first position of it; s is (rows, lanes) f32."""
-    vmin = jnp.min(s, axis=1, keepdims=True)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    pos = jnp.min(jnp.where(s == vmin, lanes, _BIGI), axis=1, keepdims=True)
-    return vmin, pos
+def _encode_scores(s: jax.Array, lanes: jax.Array) -> jax.Array:
+    """Pack the lane index into the 8 low mantissa bits of a non-negative
+    f32 score.  Bit order of non-negative IEEE floats is value order, so a
+    single min reduction yields both the (quantized) min value and its lane."""
+    bits = pltpu.bitcast(jnp.maximum(s, 0.0), jnp.int32)
+    return pltpu.bitcast((bits & ~_LANE_MASK) | lanes, jnp.float32)
+
+
+def _min_packed(enc: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(value~, lane, encoded-min) per row of an encoded score array."""
+    emin = jnp.min(enc, axis=1, keepdims=True)
+    bits = pltpu.bitcast(emin, jnp.int32)
+    pos = bits & _LANE_MASK
+    val = pltpu.bitcast(bits & ~_LANE_MASK, jnp.float32)
+    return val, pos, emin
 
 
 def _gather8(table: jax.Array, idx: jax.Array) -> jax.Array:
-    """out[i, j] = table[idx[i, j], j] for an 8-row table (native sublane
-    dynamic_gather)."""
     return jnp.take_along_axis(table, idx, axis=0)
 
 
 def _gather_rows16(top: jax.Array, bot: jax.Array, idx: jax.Array) -> jax.Array:
-    """Gather 8 output rows from a 16-row table split as two 8-row halves.
-    idx values in [0, 16)."""
+    """Gather 8 output rows from a 16-row table split as two 8-row halves."""
     lo = _gather8(top, jnp.clip(idx, 0, 7))
     hi = _gather8(bot, jnp.clip(idx - 8, 0, 7))
     return jnp.where(idx < 8, lo, hi)
+
+
+def _gather_lane256(table: jax.Array, idx_col: jax.Array) -> jax.Array:
+    """out[r, :1] = table[r, idx_col[r]] for a 256-lane table: Mosaic's lane
+    dynamic_gather is 128-lane-tile local, so gather both halves + select."""
+    rows = table.shape[0]
+    idx = jnp.broadcast_to(idx_col, (rows, 128))
+    lo = jnp.take_along_axis(table[:, 0:128], jnp.clip(idx, 0, 127), axis=1)
+    hi = jnp.take_along_axis(table[:, 128:256], jnp.clip(idx - 128, 0, 127), axis=1)
+    return jnp.where(idx_col < 128, lo[:, 0:1], hi[:, 0:1])
 
 
 def _seqbeam_kernel(
@@ -80,16 +112,16 @@ def _seqbeam_kernel(
     x_ref,  # (B_t, D) f32
     idx0_ref,  # (B_t, nc) int32
     centers_ref,  # (nc*cs, D) bf16
-    centersT_ref,  # (nc*D, cs) bf16
     cs_sumsq_ref,  # (nc, cs) f32
     # outputs
     out_ref,  # (B_t, nc) int32
     # scratch
-    E_ref,  # (M*B_t, D) f32   candidate error vectors, m-major rows
-    E2_ref,  # (M*B_t, D) f32  candidate errors minus current codebook-t term
+    EA_ref,  # (M*B_t, D) f32  candidate error vectors (ping)
+    EB_ref,  # (M*B_t, D) f32  candidate error vectors (pong)
     cross_ref,  # (M*B_t, cs) f32
-    chosen_ref,  # (M, nc*B_t) int32   lane layout t*B_t + b
-    chosen2_ref,  # (M, nc*B_t) int32
+    chosen_ref,  # (M*nc, 128) int32  row m*nc + t; first B_t lanes used
+    chosen2_ref,  # (M*nc, 128) int32
+    sol_ref,  # (nc*B_t, 1) int32  current solution column, layout t*B_t + b
     *,
     B_t: int,
     D: int,
@@ -100,177 +132,238 @@ def _seqbeam_kernel(
     passes: int,
 ):
     assert M == 16, "kernel is specialised for M=16 (two 8-row gather halves)"
+    assert B_t <= 128 and cs == 256 and nc % 2 == 0
+    CW = 128
     f32 = jnp.float32
     bf16 = jnp.bfloat16
     x = x_ref[:]  # (B_t, D)
     lane_cs = jax.lax.broadcasted_iota(jnp.int32, (B_t, cs), 1)
+    lane_full = jax.lax.broadcasted_iota(jnp.int32, (M * B_t, cs), 1)
+    lane_m = jax.lax.broadcasted_iota(jnp.int32, (B_t, M), 1)
+
+    def pad_row(row):  # (rows, B_t) -> (rows, CW)
+        if B_t == CW:
+            return row
+        r = row.shape[0]
+        return jnp.concatenate([row, jnp.zeros((r, CW - B_t), row.dtype)], axis=1)
 
     def onehot_bt(idx_col):  # (B_t, 1) int32 -> (B_t, cs) bf16
         return (lane_cs == idx_col).astype(bf16)
 
-    def matmul(a, b):  # bf16 x bf16 -> f32
+    def matmul(a, b):
         return jnp.dot(a.astype(bf16), b, preferred_element_type=f32)
 
-    # The current solution is carried as a single column (nc*B_t, 1) int32
-    # (sublane layout t*B_t + b) plus its row transpose: Mosaic can slice
-    # sublanes at 8-aligned offsets freely, while lane slices at non-128
-    # offsets produce layouts that later ops reject.
+    def matmul_nt(a, b):  # contraction on dim 1 of both operands
+        return jax.lax.dot_general(
+            a.astype(bf16),
+            b,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )
+
+    def cols_to_colstack(a):  # (B_t, M) -> (M*B_t, 1)
+        return jnp.concatenate(
+            [
+                jnp.sum(jnp.where(lane_m == m, a, 0.0), axis=1, keepdims=True)
+                for m in range(M)
+            ],
+            axis=0,
+        )
+
+    # ---- init: solution column from idx0 (lane-masked reduce per codebook:
+    # direct idx0 column slices carry lane offsets Mosaic rejects downstream).
     idx0 = idx0_ref[:]  # (B_t, nc)
     lane_nc = jax.lax.broadcasted_iota(jnp.int32, (B_t, nc), 1)
-    # Column extraction via lane-masked reduce: a direct idx0[:, t:t+1]
-    # slice carries lane offset t in its layout, which tpu.concatenate
-    # rejects on the non-concat dimension.
-    sol_col = jnp.concatenate(
-        [
-            jnp.sum(jnp.where(lane_nc == t, idx0, 0), axis=1, keepdims=True)
-            for t in range(nc)
-        ],
-        axis=0,
-    )
-    sol_row = sol_col.T  # (1, nc*B_t)
+    for t in range(nc):
+        sol_ref[t * B_t : (t + 1) * B_t, :] = jnp.sum(
+            jnp.where(lane_nc == t, idx0, 0), axis=1, keepdims=True
+        )
 
-    for p in range(passes):
+    def codebook_step(t, src_ref, dst_ref, ss):
+        """One beam step on codebook t.  src/dst are the E ping-pong
+        buffers; ss is (B_t, M) = ||E_m||^2 carried from the previous
+        selection.  Returns the new ss."""
+        sol_t = sol_ref[pl.ds(t * B_t, B_t), :]  # (B_t, 1)
+        ctab = centers_ref[pl.ds(t * cs, cs), :]  # (cs, D) bf16
+        oh_cur = onehot_bt(sol_t)
+
+        # ---- rescore: cross[m*B_t+b, j] = E_m . c_t(j)   (the MXU matmul)
+        cross_ref[:, :] = matmul_nt(src_ref[:, :], ctab)
+        # q[b, j] = c_t(i_t) . c_t(j); cc[b] = ||c_t(i_t)||^2
+        c_cur = matmul(oh_cur, ctab)  # (B_t, D) f32
+        q = matmul_nt(c_cur, ctab)  # (B_t, cs)
+        cc = _gather_lane256(q, sol_t)  # (B_t, 1)
+        csq = cs_sumsq_ref[pl.ds(t, 1), :]  # (1, cs)
+
+        sol_stack = jnp.concatenate([sol_t] * M, axis=0)  # (M*B_t, 1)
+        Ec = _gather_lane256(cross_ref[:, :], sol_stack)  # (M*B_t, 1)
+        ss_stack = cols_to_colstack(ss)  # (M*B_t, 1)
+        cc_stack = jnp.concatenate([cc] * M, axis=0)
+        q_stack = jnp.concatenate([q] * M, axis=0)  # (M*B_t, cs)
+        # S[m*B_t+b, j] = ||E_m - c_t(i_t) + c_t(j)||^2
+        S_full = (
+            (ss_stack - 2.0 * Ec + cc_stack)
+            + csq
+            + 2.0 * (cross_ref[:, :] - q_stack)
+        )
+        enc_full = _encode_scores(S_full, lane_full)
+
+        def fanout(_):
+            # All candidates identical at the sweep start: fan out the beam
+            # with the top-M options of candidate 0.
+            enc0 = enc_full[0:B_t, :]
+            v_cols, j_cols = [], []
+            for _ in range(M):
+                val, pos, emin = _min_packed(enc0)
+                v_cols.append(val)
+                j_cols.append(pos)
+                enc0 = jnp.where(lane_cs == pos, _INF, enc0)
+            j = jnp.concatenate(j_cols, axis=1)  # (B_t, M)
+            vals = jnp.concatenate(v_cols, axis=1)
+            return j, jnp.zeros((B_t, M), jnp.int32), vals
+
+        def cap_r(_):
+            # Top-R per parent (R packed-min rounds on the full matrix),
+            # then exact top-M of the per-frame M*R pool.
+            enc = enc_full
+            vR_cols, jR_cols = [], []
+            for _ in range(R):
+                val, pos, _ = _min_packed(enc)  # (M*B_t, 1)
+                vR_cols.append(val)
+                jR_cols.append(pos)
+                enc = jnp.where(lane_full == pos, _INF, enc)
+            vR_stack = jnp.concatenate(vR_cols, axis=1)  # (M*B_t, R)
+            jR_stack = jnp.concatenate(jR_cols, axis=1)  # (M*B_t, R)
+            # rearrange to per-frame pools (B_t, M*R)
+            vR = jnp.concatenate(
+                [vR_stack[m * B_t : (m + 1) * B_t, :] for m in range(M)], axis=1
+            )
+            jR = jnp.concatenate(
+                [jR_stack[m * B_t : (m + 1) * B_t, :] for m in range(M)], axis=1
+            )
+            lanes_pool = jax.lax.broadcasted_iota(jnp.int32, (B_t, M * R), 1)
+            enc_pool = _encode_scores(vR, lanes_pool)
+            pos_cols, v_cols = [], []
+            for _ in range(M):
+                val, pos, _ = _min_packed(enc_pool)
+                pos_cols.append(pos)
+                v_cols.append(val)
+                enc_pool = jnp.where(lanes_pool == pos, _INF, enc_pool)
+            pos_all = jnp.concatenate(pos_cols, axis=1)  # (B_t, M) in [0, M*R)
+            vals = jnp.concatenate(v_cols, axis=1)  # (B_t, M)
+            parent = pos_all // R
+            if M * R == 128:
+                pos_pad = jnp.concatenate(
+                    [pos_all, jnp.zeros((B_t, M * R - M), jnp.int32)], axis=1
+                )
+                j = jnp.take_along_axis(jR, pos_pad, axis=1)[:, :M]
+            else:
+                j_cols = []
+                lanes_jR = jax.lax.broadcasted_iota(jnp.int32, (B_t, M * R), 1)
+                for m in range(M):
+                    sel = pos_all[:, m : m + 1]
+                    j_cols.append(
+                        jnp.sum(
+                            jnp.where(lanes_jR == sel, jR, 0), axis=1, keepdims=True
+                        )
+                    )
+                j = jnp.concatenate(j_cols, axis=1)
+            return j, parent, vals
+
+        j, parent, ss_new = jax.lax.cond(t == 0, fanout, cap_r, 0)
+
+        # ---- beam reorder + extension
+        parent_T = parent.T  # (M, B_t)
+        j_T = j.T  # (M, B_t)
+
+        # chosen2 = chosen[parent] with codebook t's row overwritten by j
+        parent_pad = pad_row(parent_T)  # (M, CW)
+        idx_ch = jnp.concatenate([parent_pad] * nc, axis=1)  # (M, nc*CW)
+        ch_top = chosen_ref[0 : 8 * nc, :].reshape(8, nc * CW)
+        ch_bot = chosen_ref[8 * nc : 16 * nc, :].reshape(8, nc * CW)
+        chosen2_ref[0 : 8 * nc, :] = _gather_rows16(
+            ch_top, ch_bot, idx_ch[0:8]
+        ).reshape(8 * nc, CW)
+        chosen2_ref[8 * nc : 16 * nc, :] = _gather_rows16(
+            ch_top, ch_bot, idx_ch[8:16]
+        ).reshape(8 * nc, CW)
+        j_pad = pad_row(j_T)
+        for m in range(M):
+            chosen2_ref[pl.ds(m * nc + t, 1), :] = j_pad[m : m + 1]
+        chosen_ref[:, :] = chosen2_ref[:, :]
+
+        # dst = src[parent] + (c_t(j) - c_t(i_t)): one 16-row gather (two 2x2
+        # half-gathers) plus one batched one-hot-difference matmul.
+        idx_E = jnp.broadcast_to(parent_T[:, :, None], (M, B_t, D)).reshape(
+            M, B_t * D
+        )
+        e_top = src_ref[0 : 8 * B_t, :].reshape(8, B_t * D)
+        e_bot = src_ref[8 * B_t : 16 * B_t, :].reshape(8, B_t * D)
+        for h in range(2):
+            picked = _gather_rows16(e_top, e_bot, idx_E[8 * h : 8 * h + 8])
+            dst_ref[8 * h * B_t : 8 * (h + 1) * B_t, :] = picked.reshape(
+                8 * B_t, D
+            )
+        j_col = cols_to_colstack(j.astype(f32)).astype(jnp.int32)  # (M*B_t, 1)
+        oh_diff = (lane_full == j_col).astype(bf16) - jnp.concatenate(
+            [oh_cur] * M, axis=0
+        )
+        dst_ref[:, :] = dst_ref[:, :] + matmul(oh_diff, ctab)
+        return ss_new
+
+    def one_pass(p, _):
         # ---- pass init: e = sum_n c_n(i_n) - x, replicated into all M slots
         e = -x
-        for t in range(nc):
-            e = e + matmul(
-                onehot_bt(sol_col[t * B_t : (t + 1) * B_t]),
-                centers_ref[t * cs : (t + 1) * cs],
-            )
+
+        def add_codebook(t, acc):
+            sol_t = sol_ref[pl.ds(t * B_t, B_t), :]
+            return acc + matmul(onehot_bt(sol_t), centers_ref[pl.ds(t * cs, cs), :])
+
+        e = jax.lax.fori_loop(0, nc, add_codebook, e)
         for m in range(M):
-            E_ref[m * B_t : (m + 1) * B_t, :] = e
-            chosen_ref[m : m + 1, :] = sol_row
+            EA_ref[m * B_t : (m + 1) * B_t, :] = e
 
-        for t in range(nc):
-            # ---- remove codebook t's (pass-start) contribution
-            c_cur = matmul(
-                onehot_bt(sol_col[t * B_t : (t + 1) * B_t]),
-                centers_ref[t * cs : (t + 1) * cs],
-            )  # (B_t, D) f32
-            ss_cols = []
+        def seed_chosen(t, _):
+            sol_row = pad_row(sol_ref[pl.ds(t * B_t, B_t), :].T)  # (1, CW)
             for m in range(M):
-                e2 = E_ref[m * B_t : (m + 1) * B_t, :] - c_cur
-                E2_ref[m * B_t : (m + 1) * B_t, :] = e2
-                ss_cols.append(jnp.sum(e2 * e2, axis=1, keepdims=True))
-            ss = jnp.concatenate(ss_cols, axis=1)  # (B_t, M) f32
+                chosen_ref[pl.ds(m * nc + t, 1), :] = sol_row
+            return 0
 
-            # ---- rescore every candidate against all codewords (MXU)
-            cross_ref[:, :] = matmul(
-                E2_ref[:, :], centersT_ref[t * D : (t + 1) * D]
-            )
+        jax.lax.fori_loop(0, nc, seed_chosen, 0)
 
-            csq = cs_sumsq_ref[t : t + 1, :]  # (1, cs)
+        ss0 = jnp.broadcast_to(
+            jnp.sum(e * e, axis=1, keepdims=True), (B_t, M)
+        )
 
-            if t == 0:
-                # All candidates identical at the sweep start: fan out the
-                # beam with the top-M options of candidate 0.
-                s0 = ss[:, 0:1] + csq + 2.0 * cross_ref[0:B_t, :]
-                j_cols = []
-                for _ in range(M):
-                    vmin, pos = _row_min_and_pos(s0)
-                    j_cols.append(pos)
-                    s0 = jnp.where(lane_cs == pos, _INF, s0)
-                j = jnp.concatenate(j_cols, axis=1)  # (B_t, M)
-                parent = jnp.zeros((B_t, M), jnp.int32)
-            else:
-                # Top-R options per parent, then exact top-M of the M*R pool.
-                vR_cols, jR_cols = [], []
-                for m in range(M):
-                    s_m = (
-                        ss[:, m : m + 1]
-                        + csq
-                        + 2.0 * cross_ref[m * B_t : (m + 1) * B_t, :]
-                    )
-                    for _ in range(R):
-                        vmin, pos = _row_min_and_pos(s_m)
-                        vR_cols.append(vmin)
-                        jR_cols.append(pos)
-                        s_m = jnp.where(lane_cs == pos, _INF, s_m)
-                vR = jnp.concatenate(vR_cols, axis=1)  # (B_t, M*R)
-                jR = jnp.concatenate(jR_cols, axis=1)  # (B_t, M*R)
-                pos_cols = []
-                pool = vR
-                for _ in range(M):
-                    vmin, pos = _row_min_and_pos(pool)
-                    pos_cols.append(pos)
-                    lanes_pool = jax.lax.broadcasted_iota(jnp.int32, pool.shape, 1)
-                    pool = jnp.where(lanes_pool == pos, _INF, pool)
-                pos_all = jnp.concatenate(pos_cols, axis=1)  # (B_t, M) in [0, M*R)
-                parent = pos_all // R
-                if M * R == 128:
-                    pos_pad = jnp.concatenate(
-                        [pos_all, jnp.zeros((B_t, M * R - M), jnp.int32)], axis=1
-                    )
-                    j = jnp.take_along_axis(jR, pos_pad, axis=1)[:, :M]
-                else:
-                    j_cols = []
-                    for m in range(M):
-                        sel = pos_all[:, m : m + 1]
-                        j_cols.append(
-                            jnp.sum(
-                                jnp.where(
-                                    jax.lax.broadcasted_iota(jnp.int32, jR.shape, 1)
-                                    == sel,
-                                    jR,
-                                    0,
-                                ),
-                                axis=1,
-                                keepdims=True,
-                            )
-                        )
-                    j = jnp.concatenate(j_cols, axis=1)
+        def pair_step(i, ss):
+            ss = codebook_step(2 * i, EA_ref, EB_ref, ss)
+            ss = codebook_step(2 * i + 1, EB_ref, EA_ref, ss)
+            return ss
 
-            # ---- beam reorder + extension
-            parent_T = parent.T  # (M, B_t)
-            j_T = j.T  # (M, B_t)
+        ss = jax.lax.fori_loop(0, nc // 2, pair_step, ss0)
 
-            # chosen2 = chosen[parent] with codebook t overwritten by j
-            idx_ch = jnp.concatenate([parent_T] * nc, axis=1)  # (M, nc*B_t)
-            ch_top, ch_bot = chosen_ref[0:8, :], chosen_ref[8:16, :]
-            chosen2_ref[0:8, :] = _gather_rows16(ch_top, ch_bot, idx_ch[0:8])
-            chosen2_ref[8:16, :] = _gather_rows16(ch_top, ch_bot, idx_ch[8:16])
-            for m in range(M):
-                chosen2_ref[m : m + 1, t * B_t : (t + 1) * B_t] = j_T[m : m + 1]
-            # swap buffers by copying back (cheap: (M, nc*B_t) ints)
-            chosen_ref[:, :] = chosen2_ref[:, :]
-
-            # E <- E2[parent] + c_t(j)
-            idx_E = jnp.broadcast_to(
-                parent_T[:, :, None], (M, B_t, D)
-            ).reshape(M, B_t * D)
-            e2_top = E2_ref[0 : 8 * B_t, :].reshape(8, B_t * D)
-            e2_bot = E2_ref[8 * B_t : 16 * B_t, :].reshape(8, B_t * D)
-            for h in range(2):
-                picked = _gather_rows16(e2_top, e2_bot, idx_E[8 * h : 8 * h + 8])
-                E_ref[8 * h * B_t : 8 * (h + 1) * B_t, :] = picked.reshape(
-                    8 * B_t, D
-                )
-            for m in range(M):
-                c_new = matmul(
-                    onehot_bt(j[:, m : m + 1]), centers_ref[t * cs : (t + 1) * cs]
-                )
-                E_ref[m * B_t : (m + 1) * B_t, :] = (
-                    E_ref[m * B_t : (m + 1) * B_t, :] + c_new
-                )
-
-        # ---- pass end: keep the best candidate as the new current solution
-        fin_cols = []
-        for m in range(M):
-            em = E_ref[m * B_t : (m + 1) * B_t, :]
-            fin_cols.append(jnp.sum(em * em, axis=1, keepdims=True))
-        fin = jnp.concatenate(fin_cols, axis=1)  # (B_t, M)
-        _, best = _row_min_and_pos(fin)  # (B_t, 1)
-        best_row = best.T  # (1, B_t)
+        # ---- pass end: keep the best candidate (ss is exact up to the
+        # packed-min mantissa truncation, rel err ~2^-15)
+        enc_fin = _encode_scores(ss, lane_m)
+        _, best, _ = _min_packed(enc_fin)  # (B_t, 1)
+        best_pad = pad_row(best.T)  # (1, CW)
         idx_best = jnp.concatenate(
-            [jnp.broadcast_to(best_row, (8, B_t))] * nc, axis=1
-        )  # (8, nc*B_t)
-        winner = _gather_rows16(chosen_ref[0:8, :], chosen_ref[8:16, :], idx_best)
-        sol_row = winner[0:1, :]
-        sol_col = sol_row.T  # (nc*B_t, 1)
+            [jnp.broadcast_to(best_pad, (8, CW))] * nc, axis=1
+        )
+        ch_top = chosen_ref[0 : 8 * nc, :].reshape(8, nc * CW)
+        ch_bot = chosen_ref[8 * nc : 16 * nc, :].reshape(8, nc * CW)
+        winner = _gather_rows16(ch_top, ch_bot, idx_best)  # (8, nc*CW)
+        winner_col = winner[0:1, :].T  # (nc*CW, 1)
+        for t in range(nc):
+            sol_ref[t * B_t : (t + 1) * B_t, :] = winner_col[
+                t * CW : t * CW + B_t, :
+            ]
+        return 0
 
-    out_ref[:, :] = jnp.concatenate(
-        [sol_col[t * B_t : (t + 1) * B_t] for t in range(nc)], axis=1
-    )
+    jax.lax.fori_loop(0, passes, one_pass, 0)
+
+    out_cols = [sol_ref[t * B_t : (t + 1) * B_t, :] for t in range(nc)]
+    out_ref[:, :] = jnp.concatenate(out_cols, axis=1)
 
 
 @functools.partial(
@@ -283,7 +376,7 @@ def seqbeam_encode_indexes(
     M: int = 16,
     R: int = 8,
     passes: int = 3,
-    block_b: int = 64,
+    block_b: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
     """Encode (B, dim) frames to (B, nc) int32 indexes with the fused
@@ -299,23 +392,19 @@ def seqbeam_encode_indexes(
     idx0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, nc)
     centers = scaled_centers(params, config.scale_speed).astype(jnp.float32)
     centers_flat = centers.reshape(nc * cs, D).astype(jnp.bfloat16)
-    centersT = (
-        jnp.swapaxes(centers, 1, 2).reshape(nc * D, cs).astype(jnp.bfloat16)
-    )
     cs_sumsq = jnp.sum(centers * centers, axis=-1)  # (nc, cs) f32
 
     kernel = functools.partial(
         _seqbeam_kernel, B_t=block_b, D=D, nc=nc, cs=cs, M=M, R=R, passes=passes
     )
     grid = (B_pad // block_b,)
-    outT = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_b, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, nc), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nc * cs, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nc * D, cs), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nc, cs), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -326,9 +415,13 @@ def seqbeam_encode_indexes(
             pltpu.VMEM((M * block_b, D), jnp.float32),
             pltpu.VMEM((M * block_b, D), jnp.float32),
             pltpu.VMEM((M * block_b, cs), jnp.float32),
-            pltpu.VMEM((M, nc * block_b), jnp.int32),
-            pltpu.VMEM((M, nc * block_b), jnp.int32),
+            pltpu.VMEM((M * nc, 128), jnp.int32),
+            pltpu.VMEM((M * nc, 128), jnp.int32),
+            pltpu.VMEM((nc * block_b, 1), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(x, idx0, centers_flat, centersT, cs_sumsq)
-    return outT[:B]
+    )(x, idx0, centers_flat, cs_sumsq)
+    return out[:B]

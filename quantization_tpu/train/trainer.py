@@ -68,7 +68,9 @@ def total_loss(losses: core.QuantizerLosses, entropy_scale: float = 0.01):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_train_step(config: QuantizerConfig, refine_iters: int):
+def _make_train_step(
+    config: QuantizerConfig, refine_iters: int, entropy_scale: float = 0.01
+):
     """One compiled program per (config, refine_iters).  Sharding is
     placement-driven: inputs pre-placed via ``parallel.mesh`` shardings and
     GSPMD propagates (inserting the gradient psum over 'data' and the
@@ -78,7 +80,7 @@ def _make_train_step(config: QuantizerConfig, refine_iters: int):
     def step(params, opt_state, x, lr):
         def loss_fn(p):
             losses = core.compute_loss(p, config, x, refine_iters)
-            return total_loss(losses), losses
+            return total_loss(losses, entropy_scale), losses
 
         grads, losses = jax.grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -96,6 +98,48 @@ def _make_eval_loss(config: QuantizerConfig, refine_iters: int):
         return core.compute_loss(params, config, x, refine_iters)
 
     return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_train_scan(config: QuantizerConfig, entropy_scale: float):
+    """K optimization steps in ONE device dispatch via ``lax.scan``.
+
+    The reference dispatches one step at a time; through a high-latency
+    device tunnel the per-dispatch round trip dominates training wall time,
+    so the multi-step driver is the TPU-native default.  The per-step
+    "2 refine iterations with probability two_iter_prob"
+    (`quantization/quantization.py:625,651`) becomes a host-provided boolean
+    per step selecting between the two unrolled searches with ``lax.cond``.
+    """
+    tx = make_optimizer()
+
+    def grad_fn(n):
+        def fn(params, x):
+            def loss_fn(p):
+                losses = core.compute_loss(p, config, x, n)
+                return total_loss(losses, entropy_scale), losses
+
+            return jax.grad(loss_fn, has_aux=True)(params)
+
+        return fn
+
+    g1, g2 = grad_fn(1), grad_fn(2)
+
+    def scan_body(carry, inp):
+        params, opt_state = carry
+        x, use2, lr = inp
+        grads, losses = jax.lax.cond(use2, g2, g1, params, x)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p - lr * u, params, updates)
+        return (params, opt_state), losses
+
+    def run(params, opt_state, xs, use2s, lrs):
+        (params, opt_state), losses = jax.lax.scan(
+            scan_body, (params, opt_state), (xs, use2s, lrs)
+        )
+        return params, opt_state, losses
+
+    return jax.jit(run, donate_argnums=(0, 1))
 
 
 class QuantizerTrainer:
@@ -185,7 +229,7 @@ class QuantizerTrainer:
             x = shard_batch(x, self.mesh)
         num_iters = 2 if self._rng.random() < self.two_iter_prob else 1
         lr = self._lr_for_iter(self.cur_iter)
-        train_step = _make_train_step(self.config, num_iters)
+        train_step = _make_train_step(self.config, num_iters, self.entropy_scale)
         self.params, self.opt_state, losses = train_step(
             self.params, self.opt_state, x, jnp.float32(lr)
         )
@@ -199,6 +243,59 @@ class QuantizerTrainer:
         if self.cur_iter == self.phase_one_iters:
             self._begin_second_phase()
         self.cur_iter += 1
+
+    def step_many(self, xs) -> None:
+        """Run ``xs.shape[0]`` optimization steps in as few device dispatches
+        as possible (one ``lax.scan`` per contiguous run within a phase).
+
+        ``xs``: (K, B, dim) minibatches.  Semantically equivalent to K calls
+        of :meth:`step` with per-200-iter diagnostics skipped (correlation
+        logging still fires between chunks)."""
+        xs = jnp.asarray(xs, dtype=jnp.float32)
+        assert xs.ndim == 3 and xs.shape[-1] == self.config.dim, xs.shape
+        pos = 0
+        K = xs.shape[0]
+        while pos < K:
+            # Steps remaining in the current phase: the transition fires
+            # after the step at cur_iter == phase_one_iters (matching
+            # `quantization/quantization.py:717`).
+            if self.cur_iter <= self.phase_one_iters:
+                room = self.phase_one_iters - self.cur_iter + 1
+            else:
+                room = self.phase_one_iters + self.phase_two_iters - self.cur_iter + 1
+                if room <= 0:
+                    room = K - pos  # trainer already done; just run them
+            chunk = min(K - pos, room)
+            xc = xs[pos : pos + chunk]
+            if self.mesh is not None:
+                xc = jax.device_put(
+                    xc,
+                    jax.sharding.NamedSharding(
+                        self.mesh, jax.sharding.PartitionSpec(None, "data")
+                    ),
+                )
+            use2s = jnp.asarray(
+                self._rng.random(chunk) < self.two_iter_prob, dtype=bool
+            )
+            lrs = jnp.asarray(
+                [
+                    self._lr_for_iter(self.cur_iter + i)
+                    for i in range(chunk)
+                ],
+                dtype=jnp.float32,
+            )
+            run = _make_train_scan(self.config, self.entropy_scale)
+            self.params, self.opt_state, _ = run(
+                self.params, self.opt_state, xc, use2s, lrs
+            )
+            self.cur_iter += chunk
+            pos += chunk
+            if self.cur_iter == self.phase_one_iters + 1:
+                # the step AT phase_one_iters has run; transition now
+                self._begin_second_phase()
+            if self.diagnostics and self.cur_iter % 2000 < chunk and self.cur_iter > chunk:
+                corr = core.codebook_correlations(self.params, self.config)
+                logger.info("correlations = %s", np.asarray(corr))
 
     # ------------------------------------------------------------- internals
 

@@ -80,69 +80,115 @@ class TestSeqbeamKernel:
 
     def test_matches_numpy_mirror(self):
         """Bit-exact agreement with a straightforward NumPy implementation
-        of the same algorithm (cap-R selection, bf16 matmul rounding)."""
+        of the kernel's exact semantics: algebraically-folded rescoring with
+        bf16 MXU rounding, packed-mantissa argmin selection (values
+        truncated to 15 mantissa bits, ties to the lowest lane), carried
+        candidate sumsq, and the one-hot-difference extension matmul."""
         config, params, x = _setup(jax.random.PRNGKey(5), 128, 256, 4, B=128)
         out = seqbeam_encode_indexes(params, config, x, passes=2, interpret=True)
 
         M, R, passes = 16, 8, 2
-        centers = np.asarray(
+        LM = 255  # lane mask (8 bits)
+        centers_f32 = np.asarray(
             core.scaled_centers(params, config.scale_speed), np.float32
         )
-        nc, cs, D = centers.shape
+        nc, cs, D = centers_f32.shape
+        ctab = np.asarray(
+            jnp.asarray(centers_f32).astype(jnp.bfloat16).astype(jnp.float32)
+        )  # the kernel stores codebooks in bf16
+        css = np.asarray(jnp.sum(jnp.asarray(centers_f32) ** 2, axis=-1), np.float32)
         logits = np.asarray(search.compute_logits(params, config, x))
-        idx = logits.argmax(-1).astype(np.int32)
+        sol = logits.argmax(-1).astype(np.int32)  # (B, nc)
         xn = np.asarray(x, np.float32)
-        css = (centers * centers).sum(-1)
         B = xn.shape[0]
 
         def bf16(a):
             return np.asarray(
-                jnp.asarray(a).astype(jnp.bfloat16).astype(jnp.float32)
+                jnp.asarray(a).astype(jnp.bfloat16).astype(jnp.float32), np.float32
             )
 
-        for _ in range(passes):
-            e = centers[np.arange(nc)[None, :], idx].sum(1) - xn
-            E = np.repeat(e[:, None, :], M, axis=1)
-            chosen = np.repeat(idx[:, None, :], M, axis=1)
-            for t in range(nc):
-                c_cur = bf16(centers[t])[idx[:, t]]
-                E2 = E - c_cur[:, None, :]
-                ss = (E2 * E2).sum(-1)
-                cross = np.einsum("bmd,kd->bmk", bf16(E2), bf16(centers[t]))
-                S = ss[:, :, None] + css[t][None, None, :] + 2.0 * cross
-                if t == 0:
-                    s0 = S[:, 0, :].copy()
-                    j = np.zeros((B, M), np.int32)
-                    parent = np.zeros((B, M), np.int32)
-                    for m in range(M):
-                        pos = s0.argmin(1)
-                        j[:, m] = pos
-                        s0[np.arange(B), pos] = 1e30
-                else:
-                    vR = np.zeros((B, M * R), np.float32)
-                    jR = np.zeros((B, M * R), np.int32)
-                    for m in range(M):
-                        sm = S[:, m, :].copy()
-                        for r in range(R):
-                            pos = sm.argmin(1)
-                            vR[:, m * R + r] = sm[np.arange(B), pos]
-                            jR[:, m * R + r] = pos
-                            sm[np.arange(B), pos] = 1e30
-                    parent = np.zeros((B, M), np.int32)
-                    j = np.zeros((B, M), np.int32)
-                    pool = vR.copy()
-                    for m in range(M):
-                        pos = pool.argmin(1)
-                        parent[:, m] = pos // R
-                        j[:, m] = jR[np.arange(B), pos]
-                        pool[np.arange(B), pos] = 1e30
-                E = E2[np.arange(B)[:, None], parent] + bf16(centers[t])[j]
-                chosen = chosen[np.arange(B)[:, None], parent]
-                chosen[:, :, t] = j
-            fin = (E * E).sum(-1)
-            idx = chosen[np.arange(B), fin.argmin(1)]
+        def mm(a, b):  # bf16 x bf16 -> f32 accumulate
+            return (bf16(a).astype(np.float32) @ b.astype(np.float32)).astype(
+                np.float32
+            )
 
-        assert (np.asarray(out) == idx).all()
+        def enc_pack(sv, lanes):
+            bits = np.maximum(sv, 0.0).astype(np.float32).view(np.int32)
+            return ((bits & ~LM) | lanes).view(np.float32)
+
+        def min_packed(enc):
+            emin = enc.min(axis=1, keepdims=True)
+            bits = emin.view(np.int32)
+            return (bits & ~LM).view(np.float32), bits & LM, emin
+
+        for _ in range(passes):
+            e = np.zeros((B, D), np.float32) - xn
+            for t in range(nc):
+                e = e + ctab[t][sol[:, t]]  # one-hot matmul == bf16 row pick
+            E = np.repeat(e[None, :, :], M, axis=0)  # (M, B, D) f32
+            chosen = np.repeat(sol[None, :, :], M, axis=0)  # (M, B, nc)
+            ss = np.broadcast_to((e * e).sum(-1)[:, None], (B, M)).copy()
+            for t in range(nc):
+                cross = np.stack([mm(E[m], ctab[t].T) for m in range(M)])  # (M,B,cs)
+                c_cur = ctab[t][sol[:, t]]  # (B, D)
+                q = mm(c_cur, ctab[t].T)  # (B, cs)
+                cc = q[np.arange(B), sol[:, t]]  # (B,)
+                Ec = cross[:, np.arange(B), sol[:, t]]  # (M, B)
+                S = (
+                    (ss.T - 2.0 * Ec + cc[None, :])[:, :, None]
+                    + css[t][None, None, :]
+                    + 2.0 * (cross - q[None])
+                )  # (M, B, cs)
+                lanes_cs = np.arange(cs, dtype=np.int32)[None, :]
+                if t == 0:
+                    enc0 = enc_pack(S[0], np.broadcast_to(lanes_cs, (B, cs)).copy())
+                    j = np.zeros((B, M), np.int32)
+                    vals = np.zeros((B, M), np.float32)
+                    for m in range(M):
+                        v, pos, _ = min_packed(enc0)
+                        j[:, m] = pos[:, 0]
+                        vals[:, m] = v[:, 0]
+                        enc0[lanes_cs == pos] = 1e30
+                    parent = np.zeros((B, M), np.int32)
+                else:
+                    vR = np.zeros((B, M, R), np.float32)
+                    jR = np.zeros((B, M, R), np.int32)
+                    for m in range(M):
+                        enc = enc_pack(
+                            S[m], np.broadcast_to(lanes_cs, (B, cs)).copy()
+                        )
+                        for r in range(R):
+                            v, pos, _ = min_packed(enc)
+                            vR[:, m, r] = v[:, 0]
+                            jR[:, m, r] = pos[:, 0]
+                            enc[lanes_cs == pos] = 1e30
+                    poolv = vR.reshape(B, M * R)
+                    poolj = jR.reshape(B, M * R)
+                    lanes_p = np.arange(M * R, dtype=np.int32)[None, :]
+                    encp = enc_pack(poolv, np.broadcast_to(lanes_p, (B, M * R)).copy())
+                    parent = np.zeros((B, M), np.int32)
+                    j = np.zeros((B, M), np.int32)
+                    vals = np.zeros((B, M), np.float32)
+                    for m in range(M):
+                        v, pos, _ = min_packed(encp)
+                        parent[:, m] = pos[:, 0] // R
+                        j[:, m] = poolj[np.arange(B), pos[:, 0]]
+                        vals[:, m] = v[:, 0]
+                        encp[lanes_p == pos] = 1e30
+                # extension: E_new = E[parent] + (c_t(j) - c_t(i_t))
+                delta = ctab[t][j] - c_cur[None, :, :].transpose(1, 0, 2)  # (B,M,D)
+                E = (
+                    E[parent.T, np.arange(B)[None, :], :]
+                    + delta.transpose(1, 0, 2)
+                )
+                chosen = chosen[parent.T, np.arange(B)[None, :], :]
+                chosen[:, :, t] = j.T
+                ss = vals
+            lanes_m = np.arange(M, dtype=np.int32)[None, :]
+            _, best, _ = min_packed(enc_pack(ss, np.broadcast_to(lanes_m, (B, M)).copy()))
+            sol = chosen[best[:, 0], np.arange(B), :]
+
+        assert (np.asarray(out) == sol).all()
 
     def test_improves_over_init_and_padding(self):
         config, params, x = _setup(jax.random.PRNGKey(6), 128, 256, 2, B=100)

@@ -120,3 +120,40 @@ def test_checkpoint_resume_mid_phase(tmp_path):
         jax.tree_util.tree_leaves(t2.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-6)
+
+
+def test_step_many_matches_step_loop():
+    """step_many (one lax.scan dispatch per phase chunk) must match the
+    step-by-step driver: same RNG stream, same lr schedule, same phase
+    transition, numerically equal parameters."""
+    dim = 16
+    sampler = make_mlp_sampler(dim, jax.random.PRNGKey(5))
+    kw = dict(
+        dim=dim, bytes_per_frame=1, phase_one_iters=20, phase_two_iters=20,
+        lr=0.01, seed=7, diagnostics=False,
+    )
+    t1 = QuantizerTrainer(**kw)
+    t2 = QuantizerTrainer(**kw)
+    key = jax.random.PRNGKey(6)
+    batches = []
+    while not t1.done():
+        key, sub = jax.random.split(key)
+        batches.append(sampler(sub, 64))
+        t1.step(batches[-1])
+
+    xs = jnp.stack(batches)
+    # drive t2 in uneven chunks crossing the phase boundary
+    pos = 0
+    for chunk in (7, 19, 11, len(batches)):
+        take = min(chunk, len(batches) - pos)
+        if take == 0:
+            break
+        t2.step_many(xs[pos : pos + take])
+        pos += take
+    assert t2.cur_iter == t1.cur_iter
+    assert t2.config == t1.config
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t1.params),
+        jax.tree_util.tree_leaves(t2.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
