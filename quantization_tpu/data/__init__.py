@@ -12,6 +12,9 @@ __all__ = [
     "shannon_distortion",
     "read_hdf5_data",
     "write_hdf5_data",
+    "ShardStream",
+    "write_shards",
+    "convert_hdf5_to_shards",
 ]
 
 
@@ -20,4 +23,8 @@ def __getattr__(name):
         from . import hdf5
 
         return getattr(hdf5, name)
+    if name in ("ShardStream", "write_shards", "convert_hdf5_to_shards"):
+        from . import shards
+
+        return getattr(shards, name)
     raise AttributeError(name)

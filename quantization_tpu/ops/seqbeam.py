@@ -299,16 +299,17 @@ def _seqbeam_kernel(
         )
         e_top = src_ref[0 : 8 * B_t, :].reshape(8, B_t * D)
         e_bot = src_ref[8 * B_t : 16 * B_t, :].reshape(8, B_t * D)
-        for h in range(2):
-            picked = _gather_rows16(e_top, e_bot, idx_E[8 * h : 8 * h + 8])
-            dst_ref[8 * h * B_t : 8 * (h + 1) * B_t, :] = picked.reshape(
-                8 * B_t, D
-            )
         j_col = cols_to_colstack(j.astype(f32)).astype(jnp.int32)  # (M*B_t, 1)
         oh_diff = (lane_full == j_col).astype(bf16) - jnp.concatenate(
             [oh_cur] * M, axis=0
         )
-        dst_ref[:, :] = dst_ref[:, :] + matmul(oh_diff, ctab)
+        c_delta = matmul(oh_diff, ctab)  # (M*B_t, D)
+        for h in range(2):
+            picked = _gather_rows16(e_top, e_bot, idx_E[8 * h : 8 * h + 8])
+            dst_ref[8 * h * B_t : 8 * (h + 1) * B_t, :] = (
+                picked.reshape(8 * B_t, D)
+                + c_delta[8 * h * B_t : 8 * (h + 1) * B_t, :]
+            )
         return ss_new
 
     def one_pass(p, _):
