@@ -1,0 +1,63 @@
+"""Full benchmark sweep on the real chip: encode (beam/seqbeam/cd), decode,
+and trainer steps/s, at the two reference configs.  Writes
+experiments/bench_suite.json.
+
+Run AFTER the parity trainings so trained quantizers exist
+(q{dim}_{bpf}_full.npz); falls back to random params otherwise (throughput
+is index-content independent).
+"""
+import sys, pathlib, time, json
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+import jax, jax.numpy as jnp, numpy as np
+from quantization_tpu import core
+from quantization_tpu.utils.serialization import load_quantizer
+from quantization_tpu.ops.seqbeam import SEQBEAM_SUPPORTED
+
+HERE = pathlib.Path(__file__).parent
+results = {}
+
+
+def fetch_time(fn, args, nbatch=5, make_fresh=None):
+    outs = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(outs)[0])
+    batches = [make_fresh(i) for i in range(nbatch)]
+    jax.block_until_ready(batches)
+    t0 = time.perf_counter()
+    outs = [fn(*(list(args[:-1]) + [b])) for b in batches]
+    for o in outs:
+        np.asarray(jax.tree_util.tree_leaves(o)[0])
+    return (time.perf_counter() - t0) / nbatch
+
+
+for dim, bpf in ((256, 4), (512, 8)):
+    cfg = core.QuantizerConfig(dim=dim, codebook_size=256, num_codebooks=bpf)
+    path = HERE / f"q{dim}_{bpf}_full.npz"
+    if path.exists():
+        params = load_quantizer(path).params
+    else:
+        params = core.init_quantizer_params(jax.random.PRNGKey(0), cfg)
+    B = 8192
+    mk = lambda i: jax.random.normal(jax.random.PRNGKey(100 + i), (B, dim))
+
+    for method, iters in (("beam", 5), ("seqbeam", 3), ("cd", 5)):
+        if method == "seqbeam" and not SEQBEAM_SUPPORTED(cfg):
+            continue
+        f = jax.jit(
+            lambda p, x, m=method, it=iters: core.encode(
+                p, cfg, x, refine_indexes_iters=it, search_method=m
+            )
+        )
+        dt = fetch_time(f, (params, mk(99)), make_fresh=mk)
+        results[f"encode_{method}_d{dim}_b{bpf}_vec_s"] = round(B / dt, 1)
+
+    # decode
+    codes = jax.jit(lambda p, x: core.encode(p, cfg, x, 1))(params, mk(98))
+    fdec = jax.jit(lambda p, c: core.decode(p, cfg, c))
+    mkc = lambda i: jnp.uint8(
+        jax.random.randint(jax.random.PRNGKey(i), codes.shape, 0, 256)
+    )
+    dt = fetch_time(fdec, (params, codes), make_fresh=mkc)
+    results[f"decode_d{dim}_b{bpf}_vec_s"] = round(B / dt, 1)
+
+print(json.dumps(results, indent=1), flush=True)
+(HERE / "bench_suite.json").write_text(json.dumps(results))

@@ -90,11 +90,15 @@ def _gather8(table: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.take_along_axis(table, idx, axis=0)
 
 
-def _gather_rows16(top: jax.Array, bot: jax.Array, idx: jax.Array) -> jax.Array:
-    """Gather 8 output rows from a 16-row table split as two 8-row halves."""
-    lo = _gather8(top, jnp.clip(idx, 0, 7))
-    hi = _gather8(bot, jnp.clip(idx - 8, 0, 7))
-    return jnp.where(idx < 8, lo, hi)
+def _gather_rows_grouped(groups, idx: jax.Array) -> jax.Array:
+    """Gather 8 output rows from a table split into 8-row groups (Mosaic's
+    sublane dynamic_gather is strictly 8-row); idx values index the full
+    table [0, 8*len(groups))."""
+    out = None
+    for g, table in enumerate(groups):
+        got = _gather8(table, jnp.clip(idx - 8 * g, 0, 7))
+        out = got if out is None else jnp.where(idx < 8 * g, out, got)
+    return out
 
 
 def _gather_lane256(table: jax.Array, idx_col: jax.Array) -> jax.Array:
@@ -131,8 +135,9 @@ def _seqbeam_kernel(
     R: int,
     passes: int,
 ):
-    assert M == 16, "kernel is specialised for M=16 (two 8-row gather halves)"
+    assert M % 8 == 0 and M <= 64, M  # beam reorder works in 8-row groups
     assert B_t <= 128 and cs == 256 and nc % 2 == 0
+    G = M // 8  # gather groups
     CW = 128
     f32 = jnp.float32
     bf16 = jnp.bfloat16
@@ -279,14 +284,14 @@ def _seqbeam_kernel(
         # chosen2 = chosen[parent] with codebook t's row overwritten by j
         parent_pad = pad_row(parent_T)  # (M, CW)
         idx_ch = jnp.concatenate([parent_pad] * nc, axis=1)  # (M, nc*CW)
-        ch_top = chosen_ref[0 : 8 * nc, :].reshape(8, nc * CW)
-        ch_bot = chosen_ref[8 * nc : 16 * nc, :].reshape(8, nc * CW)
-        chosen2_ref[0 : 8 * nc, :] = _gather_rows16(
-            ch_top, ch_bot, idx_ch[0:8]
-        ).reshape(8 * nc, CW)
-        chosen2_ref[8 * nc : 16 * nc, :] = _gather_rows16(
-            ch_top, ch_bot, idx_ch[8:16]
-        ).reshape(8 * nc, CW)
+        ch_groups = [
+            chosen_ref[g * 8 * nc : (g + 1) * 8 * nc, :].reshape(8, nc * CW)
+            for g in range(G)
+        ]
+        for g in range(G):
+            chosen2_ref[g * 8 * nc : (g + 1) * 8 * nc, :] = _gather_rows_grouped(
+                ch_groups, idx_ch[8 * g : 8 * (g + 1)]
+            ).reshape(8 * nc, CW)
         j_pad = pad_row(j_T)
         for m in range(M):
             chosen2_ref[pl.ds(m * nc + t, 1), :] = j_pad[m : m + 1]
@@ -297,15 +302,17 @@ def _seqbeam_kernel(
         idx_E = jnp.broadcast_to(parent_T[:, :, None], (M, B_t, D)).reshape(
             M, B_t * D
         )
-        e_top = src_ref[0 : 8 * B_t, :].reshape(8, B_t * D)
-        e_bot = src_ref[8 * B_t : 16 * B_t, :].reshape(8, B_t * D)
+        e_groups = [
+            src_ref[g * 8 * B_t : (g + 1) * 8 * B_t, :].reshape(8, B_t * D)
+            for g in range(G)
+        ]
         j_col = cols_to_colstack(j.astype(f32)).astype(jnp.int32)  # (M*B_t, 1)
         oh_diff = (lane_full == j_col).astype(bf16) - jnp.concatenate(
             [oh_cur] * M, axis=0
         )
         c_delta = matmul(oh_diff, ctab)  # (M*B_t, D)
-        for h in range(2):
-            picked = _gather_rows16(e_top, e_bot, idx_E[8 * h : 8 * h + 8])
+        for h in range(G):
+            picked = _gather_rows_grouped(e_groups, idx_E[8 * h : 8 * h + 8])
             dst_ref[8 * h * B_t : 8 * (h + 1) * B_t, :] = (
                 picked.reshape(8 * B_t, D)
                 + c_delta[8 * h * B_t : 8 * (h + 1) * B_t, :]
@@ -351,9 +358,11 @@ def _seqbeam_kernel(
         idx_best = jnp.concatenate(
             [jnp.broadcast_to(best_pad, (8, CW))] * nc, axis=1
         )
-        ch_top = chosen_ref[0 : 8 * nc, :].reshape(8, nc * CW)
-        ch_bot = chosen_ref[8 * nc : 16 * nc, :].reshape(8, nc * CW)
-        winner = _gather_rows16(ch_top, ch_bot, idx_best)  # (8, nc*CW)
+        ch_groups = [
+            chosen_ref[g * 8 * nc : (g + 1) * 8 * nc, :].reshape(8, nc * CW)
+            for g in range(G)
+        ]
+        winner = _gather_rows_grouped(ch_groups, idx_best)  # (8, nc*CW)
         winner_col = winner[0:1, :].T  # (nc*CW, 1)
         for t in range(nc):
             sol_ref[t * B_t : (t + 1) * B_t, :] = winner_col[

@@ -198,3 +198,34 @@ class TestSeqbeamKernel:
         centers = core.scaled_centers(params, config.scale_speed)
         i0 = search.compute_indexes(params, config, x, 0)
         assert _err(centers, x, out).mean() <= _err(centers, x, i0).mean()
+
+
+class TestEncodeSearchMethodAPI:
+    def test_codec_encode_methods_agree_on_shape(self):
+        config, params, x = _setup(jax.random.PRNGKey(7), 128, 256, 2, B=64)
+        for method, iters in (("beam", 2), ("cd", 2), ("seqbeam", 1)):
+            if method == "seqbeam":
+                # interpret path only on CPU
+                from quantization_tpu.ops.seqbeam import seqbeam_encode_indexes
+
+                codes = seqbeam_encode_indexes(params, config, x, passes=1,
+                                               interpret=True)
+                codes = core.pack_indexes(codes, config.codebook_size)
+            else:
+                codes = core.encode(params, config, x, iters,
+                                    search_method=method)
+            assert codes.shape == (64, 2) and codes.dtype == jnp.uint8
+
+    def test_quantizer_encode_search_method(self):
+        from quantization_tpu.models.quantizer import Quantizer
+
+        q = Quantizer(dim=64, codebook_size=16, num_codebooks=4,
+                      key=jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (32, 64))
+        cb = q.encode(x, refine_indexes_iters=2)
+        cc = q.encode(x, refine_indexes_iters=2, search_method="cd")
+        assert cb.shape == cc.shape == (32, 2)
+        # both decode to sane reconstructions
+        for c in (cb, cc):
+            r = q.decode(c)
+            assert float(jnp.mean((r - x) ** 2)) < float(jnp.mean(x ** 2))
