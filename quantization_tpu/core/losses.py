@@ -36,14 +36,32 @@ def compute_loss(
     config: QuantizerConfig,
     x: jax.Array,
     refine_indexes_iters: int = 0,
+    search_method: str = "beam",
 ) -> QuantizerLosses:
+    """``search_method`` selects how the training indexes are found
+    ("beam" / "seqbeam" / "cd").  The indexes are inside ``stop_gradient``
+    either way — the search is outside the differentiation path — so the
+    fused Pallas kernel is usable here despite having no VJP."""
     x = x.reshape(-1, config.dim)
     B = x.shape[0]
     nc, cs = config.num_codebooks, config.codebook_size
 
-    indexes = jax.lax.stop_gradient(
-        search.compute_indexes(params, config, x, refine_indexes_iters)
-    )
+    if search_method == "seqbeam":
+        from ..ops.seqbeam import seqbeam_encode_indexes
+
+        # stop_gradient must be applied to the kernel's INPUTS: the Pallas
+        # call has no JVP rule, and an output-side stop_gradient still lets
+        # the jvp tracer reach it.
+        sg = jax.lax.stop_gradient
+        indexes = seqbeam_encode_indexes(
+            sg(params), config, sg(x), passes=max(refine_indexes_iters, 1)
+        )
+    else:
+        indexes = jax.lax.stop_gradient(
+            search.compute_indexes(
+                params, config, x, refine_indexes_iters, search=search_method
+            )
+        )
 
     centers = scaled_centers(params, config.scale_speed)
     x_approx = codec.decode_onehot(centers, indexes)

@@ -69,7 +69,10 @@ def total_loss(losses: core.QuantizerLosses, entropy_scale: float = 0.01):
 
 @functools.lru_cache(maxsize=None)
 def _make_train_step(
-    config: QuantizerConfig, refine_iters: int, entropy_scale: float = 0.01
+    config: QuantizerConfig,
+    refine_iters: int,
+    entropy_scale: float = 0.01,
+    search_method: str = "beam",
 ):
     """One compiled program per (config, refine_iters).  Sharding is
     placement-driven: inputs pre-placed via ``parallel.mesh`` shardings and
@@ -79,7 +82,9 @@ def _make_train_step(
 
     def step(params, opt_state, x, lr):
         def loss_fn(p):
-            losses = core.compute_loss(p, config, x, refine_iters)
+            losses = core.compute_loss(
+                p, config, x, refine_iters, search_method=search_method
+            )
             return total_loss(losses, entropy_scale), losses
 
         grads, losses = jax.grad(loss_fn, has_aux=True)(params)
@@ -101,7 +106,9 @@ def _make_eval_loss(config: QuantizerConfig, refine_iters: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_train_scan(config: QuantizerConfig, entropy_scale: float):
+def _make_train_scan(
+    config: QuantizerConfig, entropy_scale: float, search_method: str = "beam"
+):
     """K optimization steps in ONE device dispatch via ``lax.scan``.
 
     The reference dispatches one step at a time; through a high-latency
@@ -116,7 +123,9 @@ def _make_train_scan(config: QuantizerConfig, entropy_scale: float):
     def grad_fn(n):
         def fn(params, x):
             def loss_fn(p):
-                losses = core.compute_loss(p, config, x, n)
+                losses = core.compute_loss(
+                    p, config, x, n, search_method=search_method
+                )
                 return total_loss(losses, entropy_scale), losses
 
             return jax.grad(loss_fn, has_aux=True)(params)
@@ -165,6 +174,7 @@ class QuantizerTrainer:
         entropy_scale: float = 0.01,
         diagnostics: bool = True,
         mesh: Optional[jax.sharding.Mesh] = None,
+        train_search: str = "beam",
     ):
         assert bytes_per_frame in (1, 2, 4, 8, 16, 32), bytes_per_frame
         del device
@@ -176,6 +186,10 @@ class QuantizerTrainer:
         self.entropy_scale = entropy_scale
         self.diagnostics = diagnostics
         self.mesh = mesh
+        # "seqbeam" routes the training index search through the fused
+        # Pallas kernel where the config supports it (phase 2 of flagship
+        # configs); phase 1 (codebook_size 16) always uses the XLA beam.
+        self.train_search = train_search
 
         if seed is None:
             seed = int.from_bytes(__import__("os").urandom(4), "little")
@@ -229,7 +243,9 @@ class QuantizerTrainer:
             x = shard_batch(x, self.mesh)
         num_iters = 2 if self._rng.random() < self.two_iter_prob else 1
         lr = self._lr_for_iter(self.cur_iter)
-        train_step = _make_train_step(self.config, num_iters, self.entropy_scale)
+        train_step = _make_train_step(
+            self.config, num_iters, self.entropy_scale, self._search_for_config()
+        )
         self.params, self.opt_state, losses = train_step(
             self.params, self.opt_state, x, jnp.float32(lr)
         )
@@ -284,7 +300,9 @@ class QuantizerTrainer:
                 ],
                 dtype=jnp.float32,
             )
-            run = _make_train_scan(self.config, self.entropy_scale)
+            run = _make_train_scan(
+                self.config, self.entropy_scale, self._search_for_config()
+            )
             self.params, self.opt_state, _ = run(
                 self.params, self.opt_state, xc, use2s, lrs
             )
@@ -298,6 +316,13 @@ class QuantizerTrainer:
                 logger.info("correlations = %s", np.asarray(corr))
 
     # ------------------------------------------------------------- internals
+
+    def _search_for_config(self) -> str:
+        if self.train_search == "seqbeam":
+            from ..ops.seqbeam import SEQBEAM_SUPPORTED
+
+            return "seqbeam" if SEQBEAM_SUPPORTED(self.config) else "beam"
+        return self.train_search
 
     def _lr_for_iter(self, cur_iter: int) -> float:
         """torch StepLR(step_size=phase_iters/4, gamma=0.5), stepped once per
