@@ -22,7 +22,7 @@ frames; this implementation rounds it properly.
 from __future__ import annotations
 
 import logging
-from typing import Iterable, Iterator, Optional, Sequence, Tuple
+from typing import Iterable, Iterator, Optional, Tuple
 
 import numpy as np
 

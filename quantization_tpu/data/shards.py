@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import ctypes
 import json
-import os
 import pathlib
 import subprocess
 import threading

@@ -39,7 +39,7 @@ import numpy as np
 import optax
 
 from .. import core
-from ..core.types import QuantizerConfig, QuantizerParams
+from ..core.types import QuantizerConfig
 from ..models.quantizer import Quantizer
 from ..parallel.mesh import shard_batch, shard_params
 
