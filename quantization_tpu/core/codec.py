@@ -70,15 +70,31 @@ def encode(
         flagship configs, see ops/seqbeam.py) — ~3x faster;
         ``refine_indexes_iters`` counts beam sweeps (3 sweeps measured
         within 0.5% relative reconstruction error of "beam" at 5 iters).
-      * "cd": exact coordinate descent (fastest, ~12% worse rel err).
+      * "cdN+seqbeam" (e.g. "cd2+seqbeam"): N coordinate-descent sweeps as
+        a cheap warm start, then the kernel ("cd2+seqbeam" with 2 sweeps
+        measured +0.67% vs "beam" at 5 iters and ~25% faster than plain
+        "seqbeam" at equal sweep count).
+      * "cd": exact coordinate descent alone (fastest, ~12% worse rel err).
     """
+    import re
+
     lead = x.shape[:-1]
     x2 = x.reshape(-1, config.dim)
-    if search_method == "seqbeam":
+    warm = re.fullmatch(r"cd(\d+)\+seqbeam", search_method)
+    if search_method == "seqbeam" or warm:
         from ..ops.seqbeam import seqbeam_encode_indexes
 
+        init = None
+        if warm:
+            logits = search.compute_logits(params, config, x2)
+            init = search.refine_indexes_cd(
+                scaled_centers(params, config.scale_speed),
+                x2,
+                jnp.argmax(logits, -1).astype(jnp.int32),
+                sweeps=int(warm.group(1)),
+            )
         indexes = seqbeam_encode_indexes(
-            params, config, x2, passes=refine_indexes_iters
+            params, config, x2, passes=refine_indexes_iters, init_indexes=init
         )
     else:
         indexes = search.compute_indexes(

@@ -388,9 +388,12 @@ def seqbeam_encode_indexes(
     passes: int = 3,
     block_b: int = 128,
     interpret: bool = False,
+    init_indexes: jax.Array | None = None,
 ) -> jax.Array:
     """Encode (B, dim) frames to (B, nc) int32 indexes with the fused
-    sequential-beam kernel.  Initialisation (logits argmax) runs in XLA."""
+    sequential-beam kernel.  Initialisation (logits argmax, or the caller's
+    ``init_indexes``, e.g. from a coordinate-descent warm start) runs in
+    XLA."""
     assert SEQBEAM_SUPPORTED(config), config
     nc, cs, D = config.num_codebooks, config.codebook_size, config.dim
     B = x.shape[0]
@@ -398,8 +401,15 @@ def seqbeam_encode_indexes(
     if B_pad != B:
         x = jnp.concatenate([x, jnp.zeros((B_pad - B, D), x.dtype)], axis=0)
 
-    logits = _search.compute_logits(params, config, x)
-    idx0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, nc)
+    if init_indexes is None:
+        logits = _search.compute_logits(params, config, x)
+        idx0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, nc)
+    else:
+        idx0 = init_indexes.astype(jnp.int32)
+        if idx0.shape[0] != B_pad:
+            idx0 = jnp.concatenate(
+                [idx0, jnp.zeros((B_pad - idx0.shape[0], nc), jnp.int32)], axis=0
+            )
     centers = scaled_centers(params, config.scale_speed).astype(jnp.float32)
     centers_flat = centers.reshape(nc * cs, D).astype(jnp.bfloat16)
     cs_sumsq = jnp.sum(centers * centers, axis=-1)  # (nc, cs) f32
