@@ -45,3 +45,30 @@ def random_id() -> str:
     import os
 
     return binascii.b2a_hex(os.urandom(4)).decode("utf-8")
+
+
+def init_quantizer_params_from_centers(
+    key: jax.Array, config: QuantizerConfig, centers: jax.Array, dtype=jnp.float32
+) -> QuantizerParams:
+    """Initialize from externally-fitted codebooks (e.g. a short
+    multi-kmeans run — the "k-means-style codebook init" configuration).
+
+    Mirrors the reference's coupling of the two parameter sets, inverted:
+    there ``centers`` starts as a clone of ``to_logits.weight``
+    (`quantization/quantization.py:38-42`); here ``to_logits`` rows start as
+    clones of the supplied centers, so the logits head begins life as a
+    matched linear scorer of the fitted codebooks.
+    """
+    nc, cs, dim = config.num_codebooks, config.codebook_size, config.dim
+    assert centers.shape == (nc, cs, dim), (centers.shape, (nc, cs, dim))
+    centers = jnp.asarray(centers, dtype)
+    _, bkey = jax.random.split(key)
+    bound = 1.0 / math.sqrt(dim)
+    b = jax.random.uniform(bkey, (nc * cs,), dtype, -bound, bound)
+    return QuantizerParams(
+        centers=centers,
+        to_logits_w=centers.reshape(nc * cs, dim),
+        to_logits_b=b,
+        logits_scale=jnp.zeros((), dtype),
+        centers_scale=jnp.zeros((), dtype),
+    )

@@ -151,6 +151,25 @@ def _make_train_scan(
     return jax.jit(run, donate_argnums=(0, 1))
 
 
+def _fit_multi_kmeans_centers(config, data, iters, rng):
+    from .multi_kmeans_trainer import MultiKmeansTrainer
+
+    data = np.asarray(data, np.float32).reshape(-1, config.dim)
+    t = MultiKmeansTrainer(
+        config.dim,
+        codebook_size=config.codebook_size,
+        num_codebooks=config.num_codebooks,
+        num_stages=1,
+        iters_per_stage=iters,
+        seed=int(rng.integers(0, 2**31)),
+    )
+    batch = min(512, data.shape[0])
+    for _ in range(iters):
+        sel = rng.integers(0, data.shape[0], batch)
+        t.step(data[sel])
+    return t.params.centers
+
+
 class QuantizerTrainer:
     """Usage (same lifecycle as `quantization/quantization.py:604-611`)::
 
@@ -175,6 +194,9 @@ class QuantizerTrainer:
         diagnostics: bool = True,
         mesh: Optional[jax.sharding.Mesh] = None,
         train_search: str = "beam",
+        init: str = "default",
+        init_data=None,
+        init_iters: int = 300,
     ):
         assert bytes_per_frame in (1, 2, 4, 8, 16, 32), bytes_per_frame
         del device
@@ -201,9 +223,21 @@ class QuantizerTrainer:
         self.config = QuantizerConfig(
             dim=dim, codebook_size=16, num_codebooks=bytes_per_frame * 2
         )
-        self.params = core.init_quantizer_params(
-            jax.random.PRNGKey(self._rng.integers(0, 2**31)), self.config
-        )
+        pkey = jax.random.PRNGKey(self._rng.integers(0, 2**31))
+        if init == "multi_kmeans":
+            # k-means-style codebook init: fit the phase-1 codebooks with a
+            # short multi-kmeans run on sample data, then couple to_logits
+            # to the fitted centers (see init_quantizer_params_from_centers).
+            assert init_data is not None, "init='multi_kmeans' needs init_data"
+            centers = _fit_multi_kmeans_centers(
+                self.config, init_data, init_iters, self._rng
+            )
+            self.params = core.init_quantizer_params_from_centers(
+                pkey, self.config, centers
+            )
+        else:
+            assert init == "default", init
+            self.params = core.init_quantizer_params(pkey, self.config)
         if mesh is not None:
             self.params = shard_params(self.params, mesh)
         self.opt_state = make_optimizer().init(self.params)

@@ -157,3 +157,26 @@ def test_step_many_matches_step_loop():
         jax.tree_util.tree_leaves(t2.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def test_multi_kmeans_init():
+    """init='multi_kmeans' seeds phase-1 codebooks from a short
+    multi-kmeans fit; to_logits rows start as clones of the fitted
+    centers (the inverse of `quantization/quantization.py:38-42`)."""
+    dim = 16
+    sampler = make_mlp_sampler(dim, jax.random.PRNGKey(5))
+    data = sampler(jax.random.PRNGKey(6), 512)
+    t = QuantizerTrainer(
+        dim=dim, bytes_per_frame=1, phase_one_iters=5, phase_two_iters=5,
+        seed=7, diagnostics=False, init="multi_kmeans", init_data=data,
+        init_iters=10,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(t.params.to_logits_w),
+        np.asarray(t.params.centers).reshape(-1, dim),
+    )
+    while not t.done():
+        t.step(sampler(jax.random.PRNGKey(8), 64))
+    q = t.get_quantizer()
+    codes = q.encode(data)
+    assert codes.shape == (512, 1)
