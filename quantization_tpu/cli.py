@@ -1,0 +1,207 @@
+"""Command-line interface.
+
+The reference has no CLI (SURVEY.md section 1: "no CLI, no config system");
+its workflows are hand-run ``__main__`` scripts.  This module packages those
+workflows:
+
+    python -m quantization_tpu train  --data corpus/ --dim 512 --bytes-per-frame 8 \
+        --out quantizer.npz [--iters 10000] [--batch 600] [--init multi_kmeans]
+    python -m quantization_tpu encode --quantizer quantizer.npz --data corpus/ \
+        --out codes.npy [--search cd2+seqbeam]
+    python -m quantization_tpu decode --quantizer quantizer.npz --codes codes.npy \
+        --out recon.npy
+    python -m quantization_tpu convert --hdf5 training_data.hdf5 --out corpus/
+
+``--data`` accepts a shard directory (see ``data/shards.py``) or a
+reference-format ``.hdf5`` archive (`quantization/quantization.py:755-761`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+logger = logging.getLogger("quantization_tpu.cli")
+
+
+def _iter_batches(data: str, batch: int, seed: int = 0):
+    """Batch iterator over a shard dir or .hdf5 archive."""
+    p = pathlib.Path(data)
+    if p.is_dir():
+        from .data.shards import ShardStream
+
+        return iter(ShardStream(p, batch_size=batch, seed=seed))
+    from .data.hdf5 import read_hdf5_data, minibatch_iterator
+
+    train, _ = read_hdf5_data(str(p), seed=seed)
+    return minibatch_iterator(train, batch, seed=seed)
+
+
+def _all_frames(data: str, limit: int | None = None) -> np.ndarray:
+    p = pathlib.Path(data)
+    if p.is_dir():
+        from .data.shards import ShardStream
+
+        out = []
+        tot = 0
+        for b in ShardStream(p, batch_size=8192, repeat=False):
+            out.append(b)
+            tot += b.shape[0]
+            if limit is not None and tot >= limit:
+                break
+        return np.concatenate(out)[:limit]
+    from .data.hdf5 import read_hdf5_data
+
+    train, valid = read_hdf5_data(str(p))
+    arr = np.concatenate([train, valid]).astype(np.float32)
+    return arr[:limit] if limit is not None else arr
+
+
+def cmd_train(args) -> None:
+    import jax
+
+    from .train.trainer import QuantizerTrainer
+    from .utils.serialization import save_quantizer
+
+    it = _iter_batches(args.data, args.batch, args.seed)
+    kw = {}
+    if args.init == "multi_kmeans":
+        kw = dict(init="multi_kmeans", init_data=next(it))
+    trainer = QuantizerTrainer(
+        dim=args.dim,
+        bytes_per_frame=args.bytes_per_frame,
+        phase_one_iters=args.iters,
+        phase_two_iters=args.iters,
+        lr=args.lr,
+        seed=args.seed,
+        diagnostics=not args.quiet,
+        train_search=args.train_search,
+        **kw,
+    )
+    t0 = time.time()
+    total = 2 * args.iters + 1
+    while not trainer.done():
+        n = min(args.chunk, total - trainer.cur_iter)
+        xs = np.stack([next(it) for _ in range(n)])
+        trainer.step_many(xs)
+        if not args.quiet:
+            logger.info(
+                "iter %d/%d (%.0fs)", trainer.cur_iter, total, time.time() - t0
+            )
+    q = trainer.get_quantizer()
+    save_quantizer(args.out, q)
+    logger.info("saved %s (id=%s) after %.0fs", args.out, q.get_id(), time.time() - t0)
+
+
+def cmd_encode(args) -> None:
+    from .utils.serialization import load_quantizer
+
+    q = load_quantizer(args.quantizer)
+    frames = _all_frames(args.data, args.limit)
+    codes = []
+    t0 = time.time()
+    for start in range(0, frames.shape[0], args.batch):
+        x = frames[start : start + args.batch]
+        codes.append(
+            np.asarray(
+                q.encode(
+                    x,
+                    refine_indexes_iters=args.refine_iters,
+                    search_method=args.search,
+                )
+            )
+        )
+    out = np.concatenate(codes)
+    np.save(args.out, out)
+    dt = time.time() - t0
+    logger.info(
+        "encoded %d frames -> %s (%.1fK vec/s)", out.shape[0], args.out,
+        out.shape[0] / dt / 1e3,
+    )
+
+
+def cmd_decode(args) -> None:
+    from .utils.serialization import load_quantizer
+
+    q = load_quantizer(args.quantizer)
+    codes = np.load(args.codes)
+    recon = []
+    for start in range(0, codes.shape[0], args.batch):
+        recon.append(np.asarray(q.decode(codes[start : start + args.batch])))
+    out = np.concatenate(recon)
+    np.save(args.out, out)
+    logger.info("decoded %d frames -> %s", out.shape[0], args.out)
+
+
+def cmd_convert(args) -> None:
+    from .data.shards import convert_hdf5_to_shards
+
+    manifest = convert_hdf5_to_shards(args.hdf5, args.out, args.frames_per_shard)
+    logger.info(
+        "wrote %d shards, %d frames, dim=%d -> %s",
+        len(manifest["shards"]),
+        sum(s["frames"] for s in manifest["shards"]),
+        manifest["dim"],
+        args.out,
+    )
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="quantization_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train", help="two-phase quantizer training")
+    p.add_argument("--data", required=True, help="shard dir or .hdf5 archive")
+    p.add_argument("--dim", type=int, required=True)
+    p.add_argument("--bytes-per-frame", type=int, required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--iters", type=int, default=10000, help="per phase")
+    p.add_argument("--batch", type=int, default=600)
+    p.add_argument("--lr", type=float, default=0.005)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--chunk", type=int, default=100, help="steps per dispatch")
+    p.add_argument("--init", choices=["default", "multi_kmeans"], default="default")
+    p.add_argument("--train-search", default="beam",
+                   help="beam | seqbeam (kernel, TPU phase 2)")
+    p.add_argument("--quiet", action="store_true")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("encode", help="bulk encode a corpus to byte codes")
+    p.add_argument("--quantizer", required=True)
+    p.add_argument("--data", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--batch", type=int, default=8192)
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--refine-iters", type=int, default=5)
+    p.add_argument("--search", default="beam",
+                   help="beam | seqbeam | cdN+seqbeam | cd")
+    p.set_defaults(fn=cmd_encode)
+
+    p = sub.add_parser("decode", help="reconstruct frames from byte codes")
+    p.add_argument("--quantizer", required=True)
+    p.add_argument("--codes", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--batch", type=int, default=65536)
+    p.set_defaults(fn=cmd_decode)
+
+    p = sub.add_parser("convert", help="HDF5 archive -> raw-f16 shards")
+    p.add_argument("--hdf5", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--frames-per-shard", type=int, default=1 << 20)
+    p.set_defaults(fn=cmd_convert)
+
+    args = parser.parse_args(argv)
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(name)s: %(message)s"
+    )
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -207,6 +207,8 @@ class ShardStream:
             while True:
                 n = self._lib.qtz_loader_next(self._handle, ptr)
                 if n < self.batch_size:
+                    if n > 0:  # final partial batch (non-repeat end)
+                        yield out[:n].copy()
                     return
                 yield out.copy()
         else:
@@ -239,6 +241,8 @@ class ShardStream:
                         pool[: fill] = pool[keep]
                         yield batch
             if not self._repeat:
+                if fill > 0:  # final partial batch
+                    yield pool[:fill].astype(np.float32)
                 return
 
     def close(self):

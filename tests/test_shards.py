@@ -72,8 +72,8 @@ def test_non_repeat_exhausts(corpus):
     stream = sh.ShardStream(d, batch_size=512, seed=3, pool_frames=1024,
                             repeat=False)
     total = sum(b.shape[0] for b in stream)
-    # full batches only; total <= corpus and within one batch of it
-    assert 0 < total <= 5000
+    # every frame exactly once (final partial batch included)
+    assert total == 5000
 
 
 def test_convert_hdf5_roundtrip(tmp_path):
