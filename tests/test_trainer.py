@@ -180,3 +180,31 @@ def test_multi_kmeans_init():
     q = t.get_quantizer()
     codes = q.encode(data)
     assert codes.shape == (512, 1)
+
+
+def test_gaussian_shannon_bound_sanity():
+    """Train on unit-Gaussian data and compare against the Shannon
+    rate-distortion bound D = 2^(-2R) — the reference prints this next to
+    its measured error (`quantization/test_quantization.py:51-84`); here it
+    is asserted: measured distortion must be above the information-theoretic
+    bound and within a small factor of it after a short training run."""
+    from quantization_tpu.data.synthetic import gaussian_sampler, shannon_distortion
+
+    dim, bpf = 16, 2  # R = 1 bit/dim -> D = 0.25
+    sampler = gaussian_sampler(dim)
+    trainer = QuantizerTrainer(
+        dim=dim, bytes_per_frame=bpf, phase_one_iters=150, phase_two_iters=150,
+        lr=0.005, seed=0, diagnostics=False,
+    )
+    key = jax.random.PRNGKey(1)
+    while not trainer.done():
+        key, sub = jax.random.split(key)
+        trainer.step(sampler(sub, 256))
+    q = trainer.get_quantizer()
+    x = sampler(jax.random.PRNGKey(2), 4096)
+    recon = q.decode(q.encode(x))
+    # relative error == distortion for unit-variance zero-mean data
+    d = float(jnp.sum((recon - x) ** 2) / jnp.sum(x ** 2))
+    bound = shannon_distortion(dim, bpf)
+    assert d > bound, (d, bound)  # can't beat Shannon
+    assert d < 3.0 * bound, (d, bound)  # but should get within a small factor
