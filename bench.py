@@ -59,6 +59,8 @@ def main() -> None:
             refine_indexes_iters=SEQBEAM_PASSES,
             as_bytes=True,
             search_method="cd2+seqbeam",
+            R=4,  # selection cap; measured quality-equal to R=8 here (+0.70%
+            # vs +0.67% rel err vs beam-5) and ~7% faster
         )
     )
 

@@ -59,6 +59,7 @@ def encode(
     refine_indexes_iters: int = 5,
     as_bytes: bool = True,
     search_method: str = "beam",
+    **search_kwargs,
 ) -> jax.Array:
     """Quantize ``x``: (*, dim) -> (*, nc) int32 indexes, or (*, bytes_per_frame)
     uint8 when ``as_bytes`` (`quantization/quantization.py:244-275`).
@@ -94,9 +95,15 @@ def encode(
                 sweeps=int(warm.group(1)),
             )
         indexes = seqbeam_encode_indexes(
-            params, config, x2, passes=refine_indexes_iters, init_indexes=init
+            params,
+            config,
+            x2,
+            passes=refine_indexes_iters,
+            init_indexes=init,
+            **search_kwargs,
         )
     else:
+        assert not search_kwargs, search_kwargs
         indexes = search.compute_indexes(
             params, config, x2, refine_indexes_iters, search=search_method
         )

@@ -299,20 +299,25 @@ def _seqbeam_kernel(
 
         # dst = src[parent] + (c_t(j) - c_t(i_t)): one 16-row gather (two 2x2
         # half-gathers) plus one batched one-hot-difference matmul.
-        idx_E = jnp.broadcast_to(parent_T[:, :, None], (M, B_t, D)).reshape(
-            M, B_t * D
-        )
         e_groups = [
             src_ref[g * 8 * B_t : (g + 1) * 8 * B_t, :].reshape(8, B_t * D)
             for g in range(G)
         ]
+
+        def idx_for_half(h):
+            # built per output half instead of materializing the full
+            # (M, B_t*D) index then slicing it
+            ph = jax.lax.slice(parent_T, (8 * h, 0), (8 * (h + 1), B_t))
+            return jnp.broadcast_to(ph[:, :, None], (8, B_t, D)).reshape(
+                8, B_t * D
+            )
         j_col = cols_to_colstack(j.astype(f32)).astype(jnp.int32)  # (M*B_t, 1)
         oh_diff = (lane_full == j_col).astype(bf16) - jnp.concatenate(
             [oh_cur] * M, axis=0
         )
         c_delta = matmul(oh_diff, ctab)  # (M*B_t, D)
         for h in range(G):
-            picked = _gather_rows_grouped(e_groups, idx_E[8 * h : 8 * h + 8])
+            picked = _gather_rows_grouped(e_groups, idx_for_half(h))
             dst_ref[8 * h * B_t : 8 * (h + 1) * B_t, :] = (
                 picked.reshape(8 * B_t, D)
                 + c_delta[8 * h * B_t : 8 * (h + 1) * B_t, :]
