@@ -128,3 +128,38 @@ def test_module_wrapper_and_training_progress():
         params, opt_state, _ = step(params, opt_state, pred, idx)
     loss1 = float(module.loss_fn(params, pred0, idx0)) / idx0.size
     assert loss1 < loss0 * 0.8, (loss0, loss1)
+
+
+def test_predictor_trainer_workflow():
+    """Packaged equivalent of `quantization/test_train_hdf5.py:79-134`:
+    train the joint predictor against a frozen quantizer; CE loss per
+    frame must drop well below the uniform-distribution entropy."""
+    import math
+
+    from quantization_tpu.models.quantizer import Quantizer
+    from quantization_tpu.train.predictor_trainer import PredictorTrainer
+
+    dim, nc, cs = 16, 4, 8
+    q = Quantizer(dim=dim, codebook_size=cs, num_codebooks=nc,
+                  key=jax.random.PRNGKey(0))
+    trainer = PredictorTrainer(q, predictor_channels=dim, hidden_channels=32,
+                               num_iters=60, lr=1e-2, seed=1,
+                               encode_refine_iters=1)
+    key = jax.random.PRNGKey(2)
+    first = last = None
+    while not trainer.done():
+        key, sub = jax.random.split(key)
+        x = jax.random.normal(sub, (128, dim))
+        loss = trainer.step(x)
+        first = loss if first is None else first
+        last = loss
+    # the predictor sees the exact frame the quantizer encodes, so it should
+    # beat chance (uniform CE = nc * log(cs)) quickly
+    assert last < first
+    assert last < 0.8 * nc * math.log(cs)
+
+    mod = trainer.get_predictor()
+    x = jax.random.normal(jax.random.PRNGKey(3), (64, dim))
+    idx = q.encode(x, refine_indexes_iters=1, as_bytes=False)
+    out = mod(x, idx)
+    assert out.shape == ()
