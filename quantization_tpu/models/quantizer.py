@@ -36,11 +36,11 @@ def _jit_encode(
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_decode(config: QuantizerConfig, packed_width: int):
+def _jit_decode(config: QuantizerConfig, packed_width: int, use_kernel: bool = False):
     del packed_width  # part of the cache key via input shape anyway
 
     def fn(params, indexes):
-        return core.decode(params, config, indexes)
+        return core.decode(params, config, indexes, use_kernel=use_kernel)
 
     return jax.jit(fn)
 
@@ -151,9 +151,11 @@ class Quantizer:
             self.config, refine_indexes_iters, as_bytes, search_method
         )(self.params, x)
 
-    def decode(self, indexes: jax.Array) -> jax.Array:
+    def decode(self, indexes: jax.Array, use_kernel: bool = False) -> jax.Array:
         indexes = jnp.asarray(indexes)
-        return _jit_decode(self.config, indexes.shape[-1])(self.params, indexes)
+        return _jit_decode(self.config, indexes.shape[-1], use_kernel)(
+            self.params, indexes
+        )
 
     def compute_loss(
         self, x: jax.Array, refine_indexes_iters: int = 0

@@ -6,3 +6,4 @@ path is a single fused Mosaic kernel per batch tile.
 """
 
 from .seqbeam import seqbeam_encode_indexes, SEQBEAM_SUPPORTED  # noqa: F401
+from .decode import decode_kernel, DECODE_KERNEL_SUPPORTED  # noqa: F401

@@ -7,11 +7,12 @@ the beam is re-selected.  Everything (candidate error vectors, scores,
 beam bookkeeping) stays resident in VMEM for all passes.
 
 Quality: measured against the reference pair-tree beam search
-(`quantization/quantization.py:308-548`, 5 refinement iterations) on
-trained quantizers, M=16 x 3 passes with an 8-per-parent selection cap is
-within 0.6% relative reconstruction error (dim=64 and dim=512 flagship
-configs; see experiments/seqbeam_quality.py), i.e. inside the 1% parity
-bar, and M=32 x 3 with exact selection beats it.
+(`quantization/quantization.py:308-548`, 5 refinement iterations) on fully
+trained quantizers (relative reconstruction error deltas; the parity bar
+is 1%):  dim=512/8B flagship: M=16 x3 sweeps +0.46%, M=32 x3 +0.12%,
+M=32 x5 +0.07%, 2 coordinate-descent warm-start sweeps + M=16 x2 +0.67%;
+dim=64/4B (XLA prototype): M=32 x3 -0.9% (beats the reference).  See
+experiments/seqbeam_quality.py and the README quality table.
 
 TPU mapping notes (v5e, Mosaic), learned the hard way:
 * rescoring is one (M*B_t, dim) x (dim, cs) bf16 MXU matmul per codebook,

@@ -71,3 +71,19 @@ def test_encode_decode_idempotence():
     recon = q.decode(codes)
     codes2 = q.encode(recon, refine_indexes_iters=3)
     np.testing.assert_array_equal(np.asarray(codes), np.asarray(codes2))
+
+
+def test_decode_kernel_matches_gather_path():
+    """Fused Pallas decode (interpret mode) vs the f32 gather path: equal
+    up to the kernel's bf16 codebook rounding."""
+    from quantization_tpu.ops.decode import decode_kernel, DECODE_KERNEL_SUPPORTED
+
+    config = core.QuantizerConfig(dim=128, codebook_size=256, num_codebooks=4)
+    assert DECODE_KERNEL_SUPPORTED(config)
+    params = core.init_quantizer_params(jax.random.PRNGKey(0), config)
+    codes = jnp.uint8(jax.random.randint(jax.random.PRNGKey(1), (300, 4), 0, 256))
+    a = decode_kernel(params, config, codes, interpret=True)
+    b = core.decode(params, config, codes)
+    assert a.shape == b.shape == (300, 128)
+    scale = float(jnp.max(jnp.abs(b)))
+    assert float(jnp.max(jnp.abs(a - b))) < 0.01 * scale

@@ -130,3 +130,27 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape == (256, 8) and out.dtype == jnp.uint8
     ge.dryrun_multichip(8)
+
+
+def test_step_many_with_mesh_matches_single_device():
+    """The lax.scan multi-step driver under a data-parallel mesh must
+    produce the same parameters as unsharded execution (GSPMD inserts the
+    gradient psum; math is identical)."""
+    from quantization_tpu.data.synthetic import make_mlp_sampler
+    from quantization_tpu.train.trainer import QuantizerTrainer
+
+    dim = 16
+    sampler = make_mlp_sampler(dim, jax.random.PRNGKey(3))
+    xs = jnp.stack([sampler(jax.random.PRNGKey(10 + i), 64) for i in range(12)])
+    kw = dict(dim=dim, bytes_per_frame=1, phase_one_iters=5, phase_two_iters=5,
+              lr=0.01, seed=9, diagnostics=False)
+    t_plain = QuantizerTrainer(**kw)
+    t_plain.step_many(xs)
+    mesh = pmesh.make_mesh(num_data=4, num_model=1)
+    t_mesh = QuantizerTrainer(mesh=mesh, **kw)
+    t_mesh.step_many(xs)
+    assert t_mesh.cur_iter == t_plain.cur_iter
+    for a, b in zip(jax.tree_util.tree_leaves(t_plain.params),
+                    jax.tree_util.tree_leaves(t_mesh.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
