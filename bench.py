@@ -51,18 +51,22 @@ def main() -> None:
     # reconstruction error vs. the reference-parity "beam" search at 5
     # iterations on the fully-trained flagship (inside the 1% parity bar;
     # see experiments/seqbeam_quality.py and the README quality table).
-    enc = jax.jit(
-        lambda p, x: core.encode(
-            p,
-            config,
-            x,
-            refine_indexes_iters=SEQBEAM_PASSES,
-            as_bytes=True,
-            search_method="cd2+seqbeam",
-            R=4,  # selection cap; measured quality-equal to R=8 here (+0.70%
-            # vs +0.67% rel err vs beam-5) and ~7% faster
+    def make_enc(search_method, iters, **kw):
+        return jax.jit(
+            lambda p, x: core.encode(
+                p,
+                config,
+                x,
+                refine_indexes_iters=iters,
+                as_bytes=True,
+                search_method=search_method,
+                **kw,
+            )
         )
-    )
+
+    # R=4 selection cap: measured quality-equal to R=8 here (+0.70% vs
+    # +0.67% rel err vs beam-5) and ~7% faster.
+    enc = make_enc("cd2+seqbeam", SEQBEAM_PASSES, R=4)
 
     xs = [
         jax.device_put(
@@ -79,7 +83,15 @@ def main() -> None:
     # (small, uint8) outputs).
     import numpy as np
 
-    np.asarray(enc(params, xs[0]))
+    try:
+        np.asarray(enc(params, xs[0]))
+    except Exception as e:  # Mosaic kernel unavailable on this toolchain:
+        # fall back to the pure-XLA reference-parity beam so a number is
+        # always produced.
+        print(f"seqbeam kernel unavailable ({type(e).__name__}); "
+              "falling back to XLA beam", file=sys.stderr)
+        enc = make_enc("beam", 5)
+        np.asarray(enc(params, xs[0]))
 
     t0 = time.perf_counter()
     outs = [enc(params, x) for x in xs[1:]]  # queue all dispatches
