@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import pathlib
 import sys
 import time
@@ -199,6 +200,20 @@ def main(argv=None) -> int:
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s %(name)s: %(message)s"
     )
+    # Persistent compilation cache: the fused kernels take ~1 min to compile
+    # cold; cache them across CLI invocations (opt out via
+    # QUANTIZATION_TPU_NO_CACHE=1).
+    if not os.environ.get("QUANTIZATION_TPU_NO_CACHE"):
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "QUANTIZATION_TPU_CACHE_DIR",
+                os.path.expanduser("~/.cache/quantization_tpu_jax"),
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     args.fn(args)
     return 0
 

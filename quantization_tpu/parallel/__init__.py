@@ -1,3 +1,4 @@
+from .bulk import decode_sharded, encode_sharded
 from .mesh import (
     batch_only_sharding,
     data_sharding,
@@ -11,6 +12,8 @@ from .mesh import (
 
 __all__ = [
     "batch_only_sharding",
+    "decode_sharded",
+    "encode_sharded",
     "data_sharding",
     "init_distributed",
     "make_mesh",

@@ -1,0 +1,62 @@
+"""Pod-wide bulk encode/decode conveniences.
+
+Bulk corpus encoding is embarrassingly parallel over frames (SURVEY.md §2:
+the model has no sequence axis); these helpers wrap the sharding plumbing:
+codebooks replicated, frames split over the mesh's 'data' axis, output codes
+sharded the same way.  On multi-host meshes each host passes its local
+shard of frames (e.g. from ``data.ShardStream``) and receives its local
+shard of codes — no cross-host data movement at all; GSPMD only inserts
+collectives if a sharding actually requires them.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import codec
+from ..core.types import QuantizerConfig, QuantizerParams
+from .mesh import batch_only_sharding, replicated_sharding
+
+
+def encode_sharded(
+    params: QuantizerParams,
+    config: QuantizerConfig,
+    x: jax.Array,
+    mesh: jax.sharding.Mesh,
+    refine_indexes_iters: int = 5,
+    search_method: str = "beam",
+    **search_kwargs,
+) -> jax.Array:
+    """Encode (B, dim) frames with B sharded over the mesh's 'data' axis."""
+    params = jax.device_put(params, replicated_sharding(mesh))
+    x = jax.device_put(x, batch_only_sharding(mesh))
+    fn = jax.jit(
+        lambda p, x: codec.encode(
+            p,
+            config,
+            x,
+            refine_indexes_iters=refine_indexes_iters,
+            search_method=search_method,
+            **search_kwargs,
+        ),
+        out_shardings=batch_only_sharding(mesh),
+    )
+    return fn(params, x)
+
+
+def decode_sharded(
+    params: QuantizerParams,
+    config: QuantizerConfig,
+    codes: jax.Array,
+    mesh: jax.sharding.Mesh,
+    use_kernel: bool = False,
+) -> jax.Array:
+    """Decode byte codes with the batch sharded over the 'data' axis."""
+    params = jax.device_put(params, replicated_sharding(mesh))
+    codes = jax.device_put(codes, batch_only_sharding(mesh))
+    fn = jax.jit(
+        lambda p, c: codec.decode(p, config, c, use_kernel=use_kernel),
+        out_shardings=batch_only_sharding(mesh),
+    )
+    return fn(params, codes)

@@ -154,3 +154,22 @@ def test_step_many_with_mesh_matches_single_device():
                     jax.tree_util.tree_leaves(t_mesh.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_bulk_encode_decode_sharded_match_single_device():
+    """parallel.encode_sharded / decode_sharded over the 'data' axis must
+    equal unsharded execution (bulk corpus encoding is embarrassingly
+    parallel over frames)."""
+    from quantization_tpu.parallel.bulk import decode_sharded, encode_sharded
+
+    config = core.QuantizerConfig(dim=32, codebook_size=16, num_codebooks=4)
+    params = core.init_quantizer_params(jax.random.PRNGKey(0), config)
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 32))
+    mesh = pmesh.make_mesh(num_data=8, num_model=1)
+    codes_sh = encode_sharded(params, config, x, mesh, refine_indexes_iters=2)
+    codes = core.encode(params, config, x, 2)
+    np.testing.assert_array_equal(np.asarray(codes_sh), np.asarray(codes))
+    recon_sh = decode_sharded(params, config, codes_sh, mesh)
+    recon = core.decode(params, config, codes)
+    np.testing.assert_allclose(np.asarray(recon_sh), np.asarray(recon),
+                               rtol=1e-6, atol=1e-6)
