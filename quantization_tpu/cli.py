@@ -105,7 +105,8 @@ def cmd_encode(args) -> None:
     q = load_quantizer(args.quantizer)
     frames = _all_frames(args.data, args.limit)
     codes = []
-    t0 = time.time()
+    t0 = None  # first batch includes compilation; time from the second on
+    done_after_first = 0
     for start in range(0, frames.shape[0], args.batch):
         x = frames[start : start + args.batch]
         codes.append(
@@ -117,13 +118,19 @@ def cmd_encode(args) -> None:
                 )
             )
         )
+        if t0 is None:
+            t0 = time.time()
+        else:
+            done_after_first += x.shape[0]
     out = np.concatenate(codes)
     np.save(args.out, out)
-    dt = time.time() - t0
-    logger.info(
-        "encoded %d frames -> %s (%.1fK vec/s)", out.shape[0], args.out,
-        out.shape[0] / dt / 1e3,
-    )
+    if done_after_first:
+        logger.info(
+            "encoded %d frames -> %s (%.1fK vec/s steady-state)",
+            out.shape[0], args.out, done_after_first / (time.time() - t0) / 1e3,
+        )
+    else:
+        logger.info("encoded %d frames -> %s", out.shape[0], args.out)
 
 
 def cmd_decode(args) -> None:
