@@ -43,24 +43,28 @@ def _iter_batches(data: str, batch: int, seed: int = 0):
     return minibatch_iterator(train, batch, seed=seed)
 
 
-def _all_frames(data: str, limit: int | None = None) -> np.ndarray:
+def _iter_sequential(data: str, batch: int, limit: int | None = None):
+    """Order-preserving batch iterator (row k of the output corresponds to
+    corpus frame k): shard files in manifest order or HDF5 datasets in key
+    order, no shuffling, no duplication."""
     p = pathlib.Path(data)
     if p.is_dir():
-        from .data.shards import ShardStream
+        from .data.shards import iter_shards_sequential
 
-        out = []
-        tot = 0
-        for b in ShardStream(p, batch_size=8192, repeat=False):
-            out.append(b)
+        it = iter_shards_sequential(p, batch_size=batch)
+    else:
+        from .data.hdf5 import iter_hdf5_sequential
+
+        it = iter_hdf5_sequential(str(p), batch)
+    tot = 0
+    for b in it:
+        if limit is not None and tot + b.shape[0] > limit:
+            b = b[: limit - tot]
+        if b.shape[0]:
             tot += b.shape[0]
-            if limit is not None and tot >= limit:
-                break
-        return np.concatenate(out)[:limit]
-    from .data.hdf5 import read_hdf5_data
-
-    train, valid = read_hdf5_data(str(p))
-    arr = np.concatenate([train, valid]).astype(np.float32)
-    return arr[:limit] if limit is not None else arr
+            yield b
+        if limit is not None and tot >= limit:
+            return
 
 
 def cmd_train(args) -> None:
@@ -103,25 +107,38 @@ def cmd_encode(args) -> None:
     from .utils.serialization import load_quantizer
 
     q = load_quantizer(args.quantizer)
-    frames = _all_frames(args.data, args.limit)
+    search_kwargs = {}
+    if args.M is not None:
+        search_kwargs["M"] = args.M
+    if args.R is not None:
+        search_kwargs["R"] = args.R
+    if args.block_b is not None:
+        search_kwargs["block_b"] = args.block_b
+
+    # Streaming, order-preserving encode with dispatch/IO overlap: keep a
+    # small queue of in-flight device computations so batch k+1's host read
+    # and device upload happen while batch k computes.
     codes = []
+    pending = []
     t0 = None  # first batch includes compilation; time from the second on
     done_after_first = 0
-    for start in range(0, frames.shape[0], args.batch):
-        x = frames[start : start + args.batch]
-        codes.append(
-            np.asarray(
-                q.encode(
-                    x,
-                    refine_indexes_iters=args.refine_iters,
-                    search_method=args.search,
-                )
+    for x in _iter_sequential(args.data, args.batch, args.limit):
+        pending.append(
+            q.encode(
+                x,
+                refine_indexes_iters=args.refine_iters,
+                search_method=args.search,
+                **search_kwargs,
             )
         )
         if t0 is None:
+            pending[0].block_until_ready()
             t0 = time.time()
         else:
             done_after_first += x.shape[0]
+        if len(pending) > 3:
+            codes.append(np.asarray(pending.pop(0)))
+    codes.extend(np.asarray(c) for c in pending)
     out = np.concatenate(codes)
     np.save(args.out, out)
     if done_after_first:
@@ -188,6 +205,12 @@ def main(argv=None) -> int:
     p.add_argument("--refine-iters", type=int, default=5)
     p.add_argument("--search", default="beam",
                    help="beam | seqbeam | cdN+seqbeam | cd")
+    p.add_argument("--M", type=int, default=None,
+                   help="beam width for seqbeam kernel (e.g. 32)")
+    p.add_argument("--R", type=int, default=None,
+                   help="per-beam-entry expansion for seqbeam kernel")
+    p.add_argument("--block-b", type=int, default=None,
+                   help="kernel batch tile size")
     p.set_defaults(fn=cmd_encode)
 
     p = sub.add_parser("decode", help="reconstruct frames from byte codes")

@@ -101,6 +101,36 @@ def convert_hdf5_to_shards(hdf5_path, outdir, frames_per_shard: int = 1 << 20):
     return write_shards(outdir, gen(), frames_per_shard)
 
 
+def iter_shards_sequential(
+    shard_dir,
+    batch_size: int,
+    *,
+    host_index: int = 0,
+    num_hosts: int = 1,
+) -> Iterator[np.ndarray]:
+    """Order-preserving batch iterator: shard files in manifest order, rows
+    in file order, no shuffling and no duplication.  Use this for bulk
+    encode/decode where output row k must correspond to corpus frame k;
+    the shuffling :class:`ShardStream` pool is for training only."""
+    shard_dir = pathlib.Path(shard_dir)
+    with open(shard_dir / "manifest.json") as f:
+        manifest = json.load(f)
+    assert manifest["dtype"] == "float16", manifest
+    dim = int(manifest["dim"])
+    buf = np.empty((0, dim), dtype=np.float16)
+    for entry in manifest["shards"][host_index::num_hosts]:
+        data = np.fromfile(shard_dir / entry["file"], dtype="<f2").reshape(-1, dim)
+        if buf.shape[0]:
+            data = np.concatenate([buf, data])
+            buf = buf[:0]
+        n_full = (data.shape[0] // batch_size) * batch_size
+        for start in range(0, n_full, batch_size):
+            yield data[start : start + batch_size].astype(np.float32)
+        buf = data[n_full:]
+    if buf.shape[0]:
+        yield buf.astype(np.float32)
+
+
 def _build_native() -> Optional[ctypes.CDLL]:
     """Compile (once) and load the native loader; None if no toolchain."""
     global _LIB
@@ -231,18 +261,24 @@ class ShardStream:
                     fill += take
                     pos += take
                     while fill == self._pool_frames:
-                        sel = rng.integers(0, fill, self.batch_size)
+                        # Draw WITHOUT replacement, matching the native
+                        # loader's every-frame-exactly-once semantics.
+                        sel = rng.choice(fill, self.batch_size, replace=False)
                         batch = pool[sel].astype(np.float32)
-                        # backfill drawn slots from the tail
-                        keep = np.setdiff1d(
-                            np.arange(fill), np.unique(sel), assume_unique=True
-                        )
+                        keep_mask = np.ones(fill, dtype=bool)
+                        keep_mask[sel] = False
+                        keep = np.flatnonzero(keep_mask)
                         fill = keep.size
-                        pool[: fill] = pool[keep]
+                        pool[:fill] = pool[keep]
                         yield batch
             if not self._repeat:
-                if fill > 0:  # final partial batch
-                    yield pool[:fill].astype(np.float32)
+                # Drain the pool in batch_size chunks (shuffled), matching
+                # the native loader: full batches, then one final partial.
+                perm = rng.permutation(fill)
+                for start in range(0, fill, self.batch_size):
+                    yield pool[perm[start : start + self.batch_size]].astype(
+                        np.float32
+                    )
                 return
 
     def close(self):

@@ -26,10 +26,19 @@ def _jit_encode(
     refine_iters: int,
     as_bytes: bool,
     search_method: str = "beam",
+    search_kwargs: tuple = (),
 ):
+    kw = dict(search_kwargs)
+
     def fn(params, x):
         return core.encode(
-            params, config, x, refine_iters, as_bytes, search_method=search_method
+            params,
+            config,
+            x,
+            refine_iters,
+            as_bytes,
+            search_method=search_method,
+            **kw,
         )
 
     return jax.jit(fn)
@@ -141,14 +150,22 @@ class Quantizer:
         refine_indexes_iters: int = 5,
         as_bytes: bool = True,
         search_method: str = "beam",
+        **search_kwargs,
     ) -> jax.Array:
         """Quantize ``x`` to byte codes.  ``search_method``: "beam"
         (reference-parity, default), "seqbeam" (fused Pallas kernel, ~3x
         faster on TPU for flagship configs; pass refine_indexes_iters=3 for
-        beam-5-equivalent quality), or "cd" (coordinate descent)."""
+        beam-5-equivalent quality), "cdN+seqbeam" (N coordinate-descent
+        warm-start sweeps then the kernel), or "cd" (coordinate descent).
+        Extra ``search_kwargs`` (e.g. ``M=32``, ``R=8``, ``block_b=...``)
+        are forwarded to the selected search backend."""
         x = jnp.asarray(x)
         return _jit_encode(
-            self.config, refine_indexes_iters, as_bytes, search_method
+            self.config,
+            refine_indexes_iters,
+            as_bytes,
+            search_method,
+            tuple(sorted(search_kwargs.items())),
         )(self.params, x)
 
     def decode(self, indexes: jax.Array, use_kernel: bool = False) -> jax.Array:

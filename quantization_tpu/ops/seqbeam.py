@@ -138,6 +138,11 @@ def _seqbeam_kernel(
 ):
     assert M % 8 == 0 and M <= 64, M  # beam reorder works in 8-row groups
     assert B_t <= 128 and cs == 256 and nc % 2 == 0
+    # The packed-mantissa selection stores the pool lane index in the low
+    # _LANE_BITS mantissa bits; the per-frame pool has M*R lanes, so larger
+    # pools would wrap on decode (pos = bits & _LANE_MASK) and silently
+    # corrupt beam selection.
+    assert M * R <= (1 << _LANE_BITS), (M, R)
     G = M // 8  # gather groups
     CW = 128
     f32 = jnp.float32

@@ -30,11 +30,15 @@ from ..core.types import QuantizerParams
 
 
 def init_distributed(**kwargs) -> None:
-    """Initialize JAX's multi-host runtime (no-op if already initialized)."""
+    """Initialize JAX's multi-host runtime (no-op if already initialized).
+
+    Genuine init failures (bad coordinator address, timeout, ...) propagate;
+    only the benign "already initialized" case is swallowed."""
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        if "already initialized" not in str(e).lower():
+            raise
 
 
 def make_mesh(

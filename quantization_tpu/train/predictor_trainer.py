@@ -26,8 +26,11 @@ logger = logging.getLogger(__name__)
 
 
 @functools.lru_cache(maxsize=None)
-def _make_step(shapes_key, reduction: str):
-    tx = optax.scale_by_adam()  # lr applied outside (host-scheduled scalar)
+def _make_step():
+    # jit handles per-shape retracing; lr is applied outside the optimizer as
+    # a host-scheduled scalar (reference: Adam + StepLR,
+    # `test_train_hdf5.py:108-131`).
+    tx = optax.scale_by_adam()
 
     def step(params, opt_state, predictor, indexes, lr):
         def loss_fn(p):
@@ -114,8 +117,7 @@ class PredictorTrainer:
             as_bytes=False,
         )
         feats = x if predictor_features is None else jnp.asarray(predictor_features)
-        shapes_key = (feats.shape[-1],) + tuple(self.params.embedding.shape)
-        step_fn = _make_step(shapes_key, "sum")
+        step_fn = _make_step()
         self.params, self.opt_state, loss = step_fn(
             self.params,
             self.opt_state,

@@ -44,6 +44,18 @@ def test_train_encode_decode_roundtrip(corpus, tmp_path):
     r = np.load(recon)
     assert r.shape == (256, 16)
 
+    # Order preservation: codes row k must be the encoding of corpus frame k
+    # (bulk encode reads shards sequentially, not through the shuffle pool).
+    from quantization_tpu.data.shards import iter_shards_sequential
+    from quantization_tpu.utils.serialization import load_quantizer
+
+    frames = np.concatenate(
+        list(iter_shards_sequential(corpus, batch_size=128))
+    )[:256]
+    q = load_quantizer(qpath)
+    expected = np.asarray(q.encode(frames, refine_indexes_iters=2))
+    np.testing.assert_array_equal(np.load(codes), expected)
+
 
 def test_convert_hdf5(tmp_path):
     h5py = pytest.importorskip("h5py")

@@ -110,3 +110,13 @@ def test_minibatch_iterator():
     batches = list(it)
     assert len(batches) == 3  # 50 // 16, ragged tail dropped
     assert all(b.shape == (16, 2) for b in batches)
+
+
+def test_iter_hdf5_sequential_order(tmp_path):
+    from quantization_tpu.data.hdf5 import iter_hdf5_sequential
+
+    path = tmp_path / "seq.hdf5"
+    arrays, tot = _write_corpus(path, n_datasets=3, frames_per=70)
+    expected = np.concatenate([a.astype(np.float32) for a in arrays])
+    got = np.concatenate(list(iter_hdf5_sequential(str(path), batch_size=64)))
+    np.testing.assert_array_equal(got, expected)

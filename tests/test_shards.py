@@ -67,13 +67,38 @@ def test_multihost_partition(corpus):
     assert len(files) == len(manifest["shards"])
 
 
-def test_non_repeat_exhausts(corpus):
+@pytest.mark.parametrize("force_python", [False, True])
+def test_non_repeat_exhausts(corpus, force_python):
     d, manifest, arrays = corpus
     stream = sh.ShardStream(d, batch_size=512, seed=3, pool_frames=1024,
-                            repeat=False)
-    total = sum(b.shape[0] for b in stream)
-    # every frame exactly once (final partial batch included)
+                            repeat=False, force_python=force_python)
+    batches = list(stream)
+    total = sum(b.shape[0] for b in batches)
+    # every frame exactly once (final partial batch included), no duplicates:
+    # both the native loader and the python fallback draw without replacement
     assert total == 5000
+    # all but the last batch must be exactly batch_size (chunked drain)
+    assert all(b.shape[0] == 512 for b in batches[:-1])
+    # frame identity: the corpus construction makes every frame unique, so
+    # concatenating and deduplicating rows must preserve the count
+    allb = np.concatenate(batches)
+    assert np.unique(allb, axis=0).shape[0] == 5000
+
+
+def test_sequential_iteration_preserves_order(corpus):
+    d, manifest, arrays = corpus
+    expected = np.concatenate([a.astype(np.float32) for a in arrays])
+    got = np.concatenate(list(sh.iter_shards_sequential(d, batch_size=300)))
+    np.testing.assert_array_equal(got, expected)
+    # two-host partition covers the corpus disjointly (by shard)
+    per_host = [
+        np.concatenate(
+            list(sh.iter_shards_sequential(d, batch_size=300,
+                                           host_index=h, num_hosts=2))
+        )
+        for h in range(2)
+    ]
+    assert sum(p.shape[0] for p in per_host) == 5000
 
 
 def test_convert_hdf5_roundtrip(tmp_path):
