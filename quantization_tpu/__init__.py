@@ -30,6 +30,8 @@ __all__ = [
     "core",
     "load_quantizer",
     "save_quantizer",
+    "load_torch_quantizer",
+    "save_torch_quantizer",
 ]
 
 
@@ -48,4 +50,8 @@ def __getattr__(name):
         from .data.hdf5 import read_hdf5_data
 
         return read_hdf5_data
+    if name in ("load_torch_quantizer", "save_torch_quantizer"):
+        from .utils import torch_interop
+
+        return getattr(torch_interop, name)
     raise AttributeError(f"module 'quantization_tpu' has no attribute {name!r}")

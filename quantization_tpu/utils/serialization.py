@@ -25,6 +25,13 @@ _FORMAT_VERSION = 1
 
 
 def save_quantizer(path: Union[str, os.PathLike], quantizer: Quantizer) -> None:
+    if str(path).endswith((".pt", ".pth")):
+        # reference-format torch checkpoint, loadable by the reference's
+        # `Quantizer.load_state_dict` (`quantization/quantization.py:55-59`)
+        from .torch_interop import save_torch_quantizer
+
+        save_torch_quantizer(path, quantizer)
+        return
     params = jax.device_get(quantizer.params)
     meta = dict(
         format_version=_FORMAT_VERSION,
@@ -49,6 +56,11 @@ def save_quantizer(path: Union[str, os.PathLike], quantizer: Quantizer) -> None:
 
 
 def load_quantizer(path: Union[str, os.PathLike]) -> Quantizer:
+    if str(path).endswith((".pt", ".pth")):
+        # reference-format torch checkpoint (`test_train_hdf5.py:47-54`)
+        from .torch_interop import load_torch_quantizer
+
+        return load_torch_quantizer(path)
     with np.load(path) as z:
         meta = json.loads(bytes(z["meta"]).decode("utf-8"))
         assert meta["format_version"] == _FORMAT_VERSION, meta
