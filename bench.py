@@ -20,6 +20,7 @@ Methodology notes:
 """
 
 import json
+import os
 import pathlib
 import sys
 import time
@@ -38,6 +39,34 @@ SEQBEAM_PASSES = 2  # + cd2 warm start: measured within 1% of beam-5 quality
 BATCH = 1 << 13
 NBATCH = 16
 NORTH_STAR_PER_CHIP = 100e6 / 8.0  # v5p host target, pro-rated per chip
+# bf16 MXU peak of the benchmark chip (TPU v5e: 197 TFLOP/s); override with
+# QTPU_PEAK_TFLOPS for other chip generations.
+PEAK_TFLOPS = float(os.environ.get("QTPU_PEAK_TFLOPS", "197"))
+
+
+def model_flops_per_vector(
+    dim: int, nc: int, cs: int, cd_sweeps: int, M: int, passes: int
+) -> float:
+    """Model FLOPs (2 per MAC) per encoded vector for the active search
+    config: logits init + ``cd_sweeps`` coordinate-descent sweeps + the
+    sequential-beam kernel (v2 structure: root-only rescore at the first
+    codebook, no extension at the last).  Counts MXU matmul work only —
+    selection/bookkeeping are VPU ops with negligible FLOPs — so
+    flops/elapsed is an *achieved-math* rate, comparable against the bf16
+    peak to give an honest MFU."""
+    logits = 2.0 * dim * nc * cs
+    # cd sweep (core/search.py::refine_indexes_cd): one-hot decode + per
+    # codebook (remove-old + rescore + add-new) matmuls
+    cd = cd_sweeps * (2.0 * nc * cs * dim + nc * 6.0 * cs * dim)
+    # seqbeam v2 pass: root decode, per-step shared c_cur/q matmuls,
+    # rescore (1 candidate at step 0, M after), extension (all but last step)
+    per_pass = (
+        2.0 * nc * cs * dim
+        + nc * 4.0 * cs * dim
+        + (1 + (nc - 1) * M) * 2.0 * dim * cs
+        + (nc - 1) * M * 2.0 * cs * dim
+    )
+    return logits + cd + passes * per_pass
 
 
 def main() -> None:

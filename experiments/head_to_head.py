@@ -36,9 +36,14 @@ from quantization_tpu.data.synthetic import make_mlp_sampler
 sampler = make_mlp_sampler(dim, jax.random.PRNGKey(42))
 key = jax.random.PRNGKey(1)
 batches = []
-for i in range(p1 + p2 + 1):
+# chunked generation: one device round-trip per CHUNK batches, not per batch
+CHUNK = 200
+n_total = p1 + p2 + 1
+while len(batches) < n_total:
     key, sub = jax.random.split(key)
-    batches.append(np.asarray(sampler(sub, batch)))
+    n = min(CHUNK, n_total - len(batches))
+    big = np.asarray(sampler(sub, batch * n))
+    batches.extend(big.reshape(n, batch, dim))
 x_eval = np.asarray(sampler(jax.random.PRNGKey(2), EVAL_N))
 print(f"data ready: {len(batches)} batches of {batch}x{dim}", flush=True)
 

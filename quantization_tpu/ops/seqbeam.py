@@ -58,6 +58,15 @@ _INF = 1e30  # masking constant for iterative argmin
 _LANE_BITS = 8
 _LANE_MASK = (1 << _LANE_BITS) - 1
 
+# Cost-bisect instrumentation (QTPU_SEQBEAM_SKIP=piece,piece,...): stubs out
+# kernel pieces at trace time to attribute device time.  Results are WRONG
+# with any skip active — benchmarking only, never set in production.
+import os as _os
+
+_SKIP = frozenset(
+    s for s in _os.environ.get("QTPU_SEQBEAM_SKIP", "").split(",") if s
+)
+
 
 def SEQBEAM_SUPPORTED(config: QuantizerConfig) -> bool:
     """Kernel constraints: flagship-family configs only; everything else
@@ -387,8 +396,321 @@ def _seqbeam_kernel(
     out_ref[:, :] = jnp.concatenate(out_cols, axis=1)
 
 
+def _seqbeam_kernel_v2(
+    # inputs
+    x_ref,  # (B_t, D) f32
+    idx0_ref,  # (B_t, nc) int32
+    centers_ref,  # (nc*cs, D) bf16
+    cs_sumsq_ref,  # (nc, cs) f32
+    # outputs
+    out_ref,  # (B_t, nc) int32
+    # scratch (same set as v1)
+    EA_ref,  # (M*B_t, D) f32  candidate error vectors (ping)
+    EB_ref,  # (M*B_t, D) f32  candidate error vectors (pong)
+    cross_ref,  # (M*B_t, cs) f32
+    chosen_ref,  # (M*nc, 128) int32  row m*nc + t; first B_t lanes used
+    chosen2_ref,  # (M*nc, 128) int32
+    sol_ref,  # (nc*B_t, 1) int32  root solution column, layout t*B_t + b
+    *,
+    B_t: int,
+    D: int,
+    nc: int,
+    cs: int,
+    M: int,
+    R: int,
+    passes: int,
+):
+    """Restructured sequential-beam kernel (v2) — bit-identical semantics to
+    v1, with the VPU bookkeeping cut down:
+
+    * carried per-candidate state (sumsq, selected index) lives in
+      (M*B_t, 1) COLUMN values assembled by one sublane concat of the
+      selection rounds\' outputs — the masked-reduce column-stacking
+      (``cols_to_colstack``) is gone;
+    * the t=0 step fans out from the root solution directly: its rescore is
+      (B_t, D) x (D, cs) (1/M of a full step), E rows are created by the
+      extension matmul itself (no M-fold E pre-fill, no reorder, and no
+      per-step ``lax.cond`` compiling both fanout and cap-R branches);
+    * the final codebook step of each pass skips the E extension/reorder
+      entirely (only scores and chosen bookkeeping survive a pass);
+    * selection folds the 256-lane score matrix to 128 lanes up front (the
+      packed ids already cover 256), nearly halving every argmin round;
+    * the pass-end winner is reduced block-wise over the ss column (M-1
+      tiny packed mins) instead of re-stacking to (B_t, M) lanes.
+
+    All remaining arithmetic (score assembly, packed-mantissa selection,
+    one-hot-difference extension, grouped sublane gathers) is unchanged
+    from v1, in matrix-at-a-time ops — Mosaic pays a fixed overhead per op,
+    so M-loops of small slices lose to one big op (measured 2.7x slower).
+    """
+    assert M % 8 == 0 and M <= 64, M  # beam reorder works in 8-row groups
+    assert B_t <= 128 and cs == 256 and nc % 2 == 0
+    assert M * R <= (1 << _LANE_BITS), (M, R)
+    G = M // 8  # gather groups
+    CW = 128
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    x = x_ref[:]  # (B_t, D)
+    lane_cs = jax.lax.broadcasted_iota(jnp.int32, (B_t, cs), 1)
+    lane_full = jax.lax.broadcasted_iota(jnp.int32, (M * B_t, cs), 1)
+    lane_pool = jax.lax.broadcasted_iota(jnp.int32, (B_t, M * R), 1)
+
+    def pad_row(row):  # (rows, B_t) -> (rows, CW)
+        if B_t == CW:
+            return row
+        r = row.shape[0]
+        return jnp.concatenate([row, jnp.zeros((r, CW - B_t), row.dtype)], axis=1)
+
+    def onehot_bt(idx_col):  # (B_t, 1) int32 -> (B_t, cs) bf16
+        return (lane_cs == idx_col).astype(bf16)
+
+    def matmul(a, b):
+        return jnp.dot(a.astype(bf16), b, preferred_element_type=f32)
+
+    def matmul_nt(a, b):  # contraction on dim 1 of both operands
+        return jax.lax.dot_general(
+            a.astype(bf16),
+            b,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )
+
+    # ---- init: root solution column from idx0 (lane-masked reduce per
+    # codebook: direct idx0 column slices carry lane offsets Mosaic rejects).
+    idx0 = idx0_ref[:]  # (B_t, nc)
+    lane_nc = jax.lax.broadcasted_iota(jnp.int32, (B_t, nc), 1)
+    for t in range(nc):
+        sol_ref[t * B_t : (t + 1) * B_t, :] = jnp.sum(
+            jnp.where(lane_nc == t, idx0, 0), axis=1, keepdims=True
+        )
+
+    def folded_rounds(S, rounds):
+        """``rounds`` packed-min extractions over raw scores S (rows, cs=256),
+        with the matrix folded to 128 lanes once up front (ids are packed
+        before folding, so results are identical to full-width rounds)."""
+        rows = S.shape[0]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (rows, cs), 1)
+        enc = _encode_scores(S, lanes)
+        lo = enc[:, 0:128]
+        hi = enc[:, 128:256]
+        lane_h = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+        outs = []
+        for _ in range(rounds):
+            val, pos, _ = _min_packed(jnp.minimum(lo, hi))
+            lo = jnp.where(lane_h == pos, _INF, lo)
+            hi = jnp.where(lane_h == pos - 128, _INF, hi)
+            outs.append((val, pos))
+        return outs
+
+    def codebook_step(t, src, dst_ref, ss_col, first, last):
+        """One beam step on codebook t.  ``ss_col`` is the carried
+        per-candidate ||E_m||^2 as an (M*B_t, 1) column (ignored when
+        ``first``); returns the updated column.  ``src`` is the root error
+        VALUE (B_t, D) when ``first``, else the E ping buffer ref."""
+        sol_t = sol_ref[pl.ds(t * B_t, B_t), :]  # (B_t, 1)
+        ctab = centers_ref[pl.ds(t * cs, cs), :]  # (cs, D) bf16
+        oh_cur = onehot_bt(sol_t)
+        if "shared" in _SKIP and not first:
+            c_cur = jnp.zeros((B_t, D), f32)
+            q = jnp.zeros((B_t, cs), f32)
+            cc = jnp.zeros((B_t, 1), f32)
+        else:
+            c_cur = matmul(oh_cur, ctab)  # (B_t, D) f32
+            q = matmul_nt(c_cur, ctab)  # (B_t, cs)
+            cc = _gather_lane256(q, sol_t)  # (B_t, 1)
+        csq = cs_sumsq_ref[pl.ds(t, 1), :]  # (1, cs)
+
+        if first:
+            # root-only rescore + M-way fan-out (all candidates identical)
+            e = src  # (B_t, D) value
+            cross0 = matmul_nt(e, ctab)  # (B_t, cs)
+            ss0 = jnp.sum(e * e, axis=1, keepdims=True)  # (B_t, 1)
+            Ec0 = _gather_lane256(cross0, sol_t)
+            S0 = (ss0 - 2.0 * Ec0 + cc) + csq + 2.0 * (cross0 - q)
+            picks = folded_rounds(S0, M)
+            v_cols = [v for v, _ in picks]
+            j_cols = [p for _, p in picks]
+            parent = None
+        else:
+            # ---- rescore: cross[m*B_t+b, j] = E_m . c_t(j)  (MXU)
+            if "rescore" not in _SKIP:
+                cross_ref[:, :] = matmul_nt(src[:, :], ctab)
+            if "assembly" in _SKIP:
+                S_full = cross_ref[:, :]
+            else:
+                sol_stack = jnp.concatenate([sol_t] * M, axis=0)  # (M*B_t, 1)
+                Ec = _gather_lane256(cross_ref[:, :], sol_stack)  # (M*B_t, 1)
+                cc_stack = jnp.concatenate([cc] * M, axis=0)
+                q_stack = jnp.concatenate([q] * M, axis=0)  # (M*B_t, cs)
+                S_full = (
+                    (ss_col - 2.0 * Ec + cc_stack)
+                    + csq
+                    + 2.0 * (cross_ref[:, :] - q_stack)
+                )
+            if "sel" in _SKIP:
+                v_cols = [jnp.zeros((B_t, 1), f32)] * M
+                j_cols = [sol_t] * M
+                parent = jnp.zeros((B_t, M), jnp.int32)
+            else:
+                # ---- selection: top-R per parent, then top-M of the pool
+                picks = folded_rounds(S_full, R)
+                vR = jnp.concatenate([v for v, _ in picks], axis=1)  # (M*B_t, R)
+                jR = jnp.concatenate([p for _, p in picks], axis=1)
+                pool_v = jnp.concatenate(
+                    [vR[m * B_t : (m + 1) * B_t, :] for m in range(M)], axis=1
+                )  # (B_t, M*R)
+                pool_j = jnp.concatenate(
+                    [jR[m * B_t : (m + 1) * B_t, :] for m in range(M)], axis=1
+                )
+                enc_pool = _encode_scores(pool_v, lane_pool)
+                v_cols, j_cols, p_cols = [], [], []
+                for _ in range(M):
+                    val, pos, _ = _min_packed(enc_pool)
+                    enc_pool = jnp.where(lane_pool == pos, _INF, enc_pool)
+                    v_cols.append(val)
+                    p_cols.append(pos // R)
+                    j_cols.append(
+                        jnp.sum(
+                            jnp.where(lane_pool == pos, pool_j, 0),
+                            axis=1,
+                            keepdims=True,
+                        )
+                    )
+                parent = jnp.concatenate(p_cols, axis=1)  # (B_t, M)
+
+        ss_new = jnp.concatenate(v_cols, axis=0)  # (M*B_t, 1)
+        j_col = jnp.concatenate(j_cols, axis=0)  # (M*B_t, 1)
+        j = jnp.concatenate(j_cols, axis=1)  # (B_t, M)
+        j_pad = pad_row(j.T)  # (M, CW)
+        parent_T = None if first else parent.T  # (M, B_t)
+
+        # ---- chosen bookkeeping
+        if "chosen" in _SKIP:
+            pass
+        elif first:
+            # seed all candidates from the root solution, overwrite row t
+            for s in range(nc):
+                sol_row = pad_row(sol_ref[pl.ds(s * B_t, B_t), :].T)  # (1, CW)
+                for m in range(M):
+                    chosen_ref[pl.ds(m * nc + s, 1), :] = sol_row
+            for m in range(M):
+                chosen_ref[pl.ds(m * nc + t, 1), :] = j_pad[m : m + 1]
+        else:
+            parent_pad = pad_row(parent_T)  # (M, CW)
+            idx_ch = jnp.concatenate([parent_pad] * nc, axis=1)  # (M, nc*CW)
+            ch_groups = [
+                chosen_ref[g * 8 * nc : (g + 1) * 8 * nc, :].reshape(8, nc * CW)
+                for g in range(G)
+            ]
+            for g in range(G):
+                chosen2_ref[g * 8 * nc : (g + 1) * 8 * nc, :] = (
+                    _gather_rows_grouped(
+                        ch_groups, idx_ch[8 * g : 8 * (g + 1)]
+                    ).reshape(8 * nc, CW)
+                )
+            for m in range(M):
+                chosen2_ref[pl.ds(m * nc + t, 1), :] = j_pad[m : m + 1]
+            chosen_ref[:, :] = chosen2_ref[:, :]
+
+        if last:
+            return ss_new  # scores + chosen are all the pass end needs
+
+        # ---- E extension (+ reorder when not first)
+        if "ext" in _SKIP:
+            c_delta = None
+        else:
+            oh_diff = (lane_full == j_col).astype(bf16) - jnp.concatenate(
+                [oh_cur] * M, axis=0
+            )
+            c_delta = matmul(oh_diff, ctab)  # (M*B_t, D)
+        if first:
+            if c_delta is not None:
+                e_stack = jnp.concatenate([src] * M, axis=0)  # (M*B_t, D)
+                dst_ref[:, :] = e_stack + c_delta
+        else:
+            e_groups = [
+                src[g * 8 * B_t : (g + 1) * 8 * B_t, :].reshape(8, B_t * D)
+                for g in range(G)
+            ]
+
+            def idx_for_half(h):
+                ph = jax.lax.slice(parent_T, (8 * h, 0), (8 * (h + 1), B_t))
+                return jnp.broadcast_to(ph[:, :, None], (8, B_t, D)).reshape(
+                    8, B_t * D
+                )
+
+            for h in range(G):
+                if "reorder" in _SKIP:
+                    picked = src[8 * h * B_t : 8 * (h + 1) * B_t, :]
+                else:
+                    picked = _gather_rows_grouped(
+                        e_groups, idx_for_half(h)
+                    ).reshape(8 * B_t, D)
+                dst_ref[8 * h * B_t : 8 * (h + 1) * B_t, :] = (
+                    picked
+                    + (
+                        c_delta[8 * h * B_t : 8 * (h + 1) * B_t, :]
+                        if c_delta is not None
+                        else 0.0
+                    )
+                )
+        return ss_new
+
+    def one_pass(p, _):
+        # root error e = sum_n c_n(i_n) - x
+        def add_codebook(s, acc):
+            sol_s = sol_ref[pl.ds(s * B_t, B_t), :]
+            return acc + matmul(
+                onehot_bt(sol_s), centers_ref[pl.ds(s * cs, cs), :]
+            )
+
+        e = jax.lax.fori_loop(0, nc, add_codebook, -x)
+
+        ss = codebook_step(0, e, EA_ref, None, first=True, last=False)
+
+        def pair_step(i, ss):
+            ss = codebook_step(2 * i + 1, EA_ref, EB_ref, ss, False, False)
+            ss = codebook_step(2 * i + 2, EB_ref, EA_ref, ss, False, False)
+            return ss
+
+        if nc > 2:
+            ss = jax.lax.fori_loop(0, (nc - 2) // 2, pair_step, ss)
+        ss = codebook_step(nc - 1, EA_ref, EB_ref, ss, first=False, last=True)
+
+        # ---- pass end: best candidate via block-wise packed min over the
+        # ss column (m ids in the low mantissa bits, like v1's lane packing)
+        m_ids = jnp.concatenate(
+            [jnp.full((B_t, 1), m, jnp.int32) for m in range(M)], axis=0
+        )
+        enc_col = _encode_scores(ss, m_ids)  # (M*B_t, 1)
+        best_enc = enc_col[0:B_t, :]
+        for m in range(1, M):
+            best_enc = jnp.minimum(best_enc, enc_col[m * B_t : (m + 1) * B_t, :])
+        best = pltpu.bitcast(best_enc, jnp.int32) & _LANE_MASK  # (B_t, 1)
+        best_pad = pad_row(best.T)  # (1, CW)
+        idx_best = jnp.concatenate(
+            [jnp.broadcast_to(best_pad, (8, CW))] * nc, axis=1
+        )
+        ch_groups = [
+            chosen_ref[g * 8 * nc : (g + 1) * 8 * nc, :].reshape(8, nc * CW)
+            for g in range(G)
+        ]
+        winner = _gather_rows_grouped(ch_groups, idx_best)  # (8, nc*CW)
+        winner_col = winner[0:1, :].T  # (nc*CW, 1)
+        for t in range(nc):
+            sol_ref[t * B_t : (t + 1) * B_t, :] = winner_col[
+                t * CW : t * CW + B_t, :
+            ]
+        return 0
+
+    jax.lax.fori_loop(0, passes, one_pass, 0)
+
+    out_cols = [sol_ref[t * B_t : (t + 1) * B_t, :] for t in range(nc)]
+    out_ref[:, :] = jnp.concatenate(out_cols, axis=1)
+
 @functools.partial(
-    jax.jit, static_argnames=("config", "M", "R", "passes", "block_b", "interpret")
+    jax.jit,
+    static_argnames=("config", "M", "R", "passes", "block_b", "interpret", "impl"),
 )
 def seqbeam_encode_indexes(
     params: QuantizerParams,
@@ -400,11 +722,12 @@ def seqbeam_encode_indexes(
     block_b: int = 128,
     interpret: bool = False,
     init_indexes: jax.Array | None = None,
+    impl: str = "v2",
 ) -> jax.Array:
     """Encode (B, dim) frames to (B, nc) int32 indexes with the fused
     sequential-beam kernel.  Initialisation (logits argmax, or the caller's
     ``init_indexes``, e.g. from a coordinate-descent warm start) runs in
-    XLA."""
+    XLA.  ``impl``: "v2" (default, restructured bookkeeping) or "v1"."""
     assert SEQBEAM_SUPPORTED(config), config
     nc, cs, D = config.num_codebooks, config.codebook_size, config.dim
     B = x.shape[0]
@@ -425,8 +748,17 @@ def seqbeam_encode_indexes(
     centers_flat = centers.reshape(nc * cs, D).astype(jnp.bfloat16)
     cs_sumsq = jnp.sum(centers * centers, axis=-1)  # (nc, cs) f32
 
+    scratch = [
+        pltpu.VMEM((M * block_b, D), jnp.float32),
+        pltpu.VMEM((M * block_b, D), jnp.float32),
+        pltpu.VMEM((M * block_b, cs), jnp.float32),
+        pltpu.VMEM((M * nc, 128), jnp.int32),
+        pltpu.VMEM((M * nc, 128), jnp.int32),
+        pltpu.VMEM((nc * block_b, 1), jnp.int32),
+    ]
+    kfn = _seqbeam_kernel_v2 if impl == "v2" else _seqbeam_kernel
     kernel = functools.partial(
-        _seqbeam_kernel, B_t=block_b, D=D, nc=nc, cs=cs, M=M, R=R, passes=passes
+        kfn, B_t=block_b, D=D, nc=nc, cs=cs, M=M, R=R, passes=passes
     )
     grid = (B_pad // block_b,)
     out = pl.pallas_call(
@@ -442,14 +774,7 @@ def seqbeam_encode_indexes(
             (block_b, nc), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B_pad, nc), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((M * block_b, D), jnp.float32),
-            pltpu.VMEM((M * block_b, D), jnp.float32),
-            pltpu.VMEM((M * block_b, cs), jnp.float32),
-            pltpu.VMEM((M * nc, 128), jnp.int32),
-            pltpu.VMEM((M * nc, 128), jnp.int32),
-            pltpu.VMEM((nc * block_b, 1), jnp.int32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
