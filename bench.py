@@ -35,9 +35,16 @@ from quantization_tpu import core
 DIM = 512
 NUM_CODEBOOKS = 8
 CODEBOOK_SIZE = 256
-SEQBEAM_PASSES = 2  # + cd2 warm start: measured within 1% of beam-5 quality
-BATCH = 1 << 13
-NBATCH = 16
+# Headline search config: fused seqbeam kernel, beam width M=8, per-parent
+# top-R=4, 3 passes — measured +0.89% relative reconstruction error vs the
+# reference beam-5 on the trained flagship (inside the 1% parity bar;
+# experiments/kernel_quality_d512_b8.json), no warm start needed
+# (experiments/quality_sweep_d512.log: cd0 == cd1 == cd2 at equal beam work).
+SEQBEAM_M = 8
+SEQBEAM_R = 4
+SEQBEAM_PASSES = 3
+BATCH = 1 << 15
+NBATCH = 8
 NORTH_STAR_PER_CHIP = 100e6 / 8.0  # v5p host target, pro-rated per chip
 # bf16 MXU peak of the benchmark chip (TPU v5e: 197 TFLOP/s); override with
 # QTPU_PEAK_TFLOPS for other chip generations.
@@ -75,11 +82,6 @@ def main() -> None:
     )
     params = core.init_quantizer_params(jax.random.PRNGKey(0), config)
 
-    # Headline: 2 coordinate-descent warm-start sweeps + 2 sweeps of the
-    # fused Pallas sequential-beam kernel — measured +0.67% relative
-    # reconstruction error vs. the reference-parity "beam" search at 5
-    # iterations on the fully-trained flagship (inside the 1% parity bar;
-    # see experiments/seqbeam_quality.py and the README quality table).
     def make_enc(search_method, iters, **kw):
         return jax.jit(
             lambda p, x: core.encode(
@@ -93,9 +95,7 @@ def main() -> None:
             )
         )
 
-    # R=4 selection cap: measured quality-equal to R=8 here (+0.70% vs
-    # +0.67% rel err vs beam-5) and ~7% faster.
-    enc = make_enc("cd2+seqbeam", SEQBEAM_PASSES, R=4)
+    enc = make_enc("seqbeam", SEQBEAM_PASSES, M=SEQBEAM_M, R=SEQBEAM_R)
 
     xs = [
         jax.device_put(
@@ -131,6 +131,13 @@ def main() -> None:
     elapsed = time.perf_counter() - t0
 
     vec_per_sec = (NBATCH - 1) * BATCH / elapsed
+
+    # Roofline accounting: model matmul FLOPs of the active search config
+    # per vector, achieved FLOP/s, and fraction of the chip's bf16 peak.
+    fpv = model_flops_per_vector(
+        DIM, NUM_CODEBOOKS, CODEBOOK_SIZE, 0, SEQBEAM_M, SEQBEAM_PASSES
+    )
+    tflops = vec_per_sec * fpv / 1e12
     print(
         json.dumps(
             {
@@ -138,6 +145,11 @@ def main() -> None:
                 "value": round(vec_per_sec, 1),
                 "unit": "vec/s",
                 "vs_baseline": round(vec_per_sec / NORTH_STAR_PER_CHIP, 6),
+                "model_flops_per_vector": round(fpv),
+                "achieved_tflops": round(tflops, 2),
+                "mfu": round(tflops / PEAK_TFLOPS, 4),
+                "config": f"seqbeam M{SEQBEAM_M} R{SEQBEAM_R} "
+                          f"x{SEQBEAM_PASSES}, batch {BATCH}",
             }
         )
     )

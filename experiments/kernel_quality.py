@@ -1,0 +1,34 @@
+"""Real-kernel quality vs reference beam-5 on the trained flagship."""
+import sys, pathlib, json
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+import jax, jax.numpy as jnp
+from quantization_tpu import core
+from quantization_tpu.core import search, codec
+from quantization_tpu.data.synthetic import make_mlp_sampler
+from quantization_tpu.utils.serialization import load_quantizer
+from quantization_tpu.ops.seqbeam import seqbeam_encode_indexes
+
+dim, bpf = (int(sys.argv[1]), int(sys.argv[2])) if len(sys.argv) > 2 else (512, 8)
+HERE = pathlib.Path(__file__).parent
+q = load_quantizer(HERE / f"q{dim}_{bpf}_full.npz")
+params, config = q.params, q.config
+sampler = make_mlp_sampler(dim, jax.random.PRNGKey(42))
+x = sampler(jax.random.PRNGKey(7), 8192)
+centers = core.scaled_centers(params, config.scale_speed)
+data_mean = jnp.mean(centers, axis=1).sum(axis=0)
+denom = float(jnp.sum((x - data_mean) ** 2))
+
+def rel_err(indexes):
+    recon = codec.decode_indexes(centers, indexes)
+    return float(jnp.sum((recon - x) ** 2)) / denom
+
+ref = rel_err(jax.jit(lambda x: search.compute_indexes(
+    params, config, x, refine_indexes_iters=5, search="beam"))(x))
+print(f"beam5        {ref:.5f}", flush=True)
+results = {"beam5": ref}
+for (M, R, p) in ((8, 4, 3), (8, 2, 3), (16, 4, 2), (8, 4, 2)):
+    k = f"kernel M{M}R{R}p{p}"
+    e = rel_err(seqbeam_encode_indexes(params, config, x, M=M, R=R, passes=p))
+    results[k] = e
+    print(f"{k:16s} {e:.5f} (+{100*(e/ref-1):.2f}%)", flush=True)
+(HERE / f"kernel_quality_d{dim}_b{bpf}.json").write_text(json.dumps(results))

@@ -203,8 +203,9 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=8192)
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--refine-iters", type=int, default=5)
-    p.add_argument("--search", default="beam",
-                   help="beam | seqbeam | cdN+seqbeam | cd")
+    p.add_argument("--search", default="auto",
+                   help="auto (fastest within 1%% of beam-5; default) | "
+                        "beam | seqbeam | cdN+seqbeam | cd")
     p.add_argument("--M", type=int, default=None,
                    help="beam width for seqbeam kernel (e.g. 32)")
     p.add_argument("--R", type=int, default=None,

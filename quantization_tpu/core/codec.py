@@ -81,6 +81,25 @@ def encode(
 
     lead = x.shape[:-1]
     x2 = x.reshape(-1, config.dim)
+    if search_method == "auto":
+        # Fastest config measured within the 1% quality bar on TPU: the
+        # fused seqbeam kernel at M=8, R=4, 3 passes (+0.89% rel err vs
+        # beam-5 on the trained flagship, experiments/kernel_quality_*.json,
+        # ~2x the beam's throughput).  Falls back to the reference-parity
+        # beam off-TPU or for unsupported shapes.
+        from ..ops.seqbeam import SEQBEAM_SUPPORTED
+
+        if (
+            SEQBEAM_SUPPORTED(config)
+            and jax.default_backend() == "tpu"
+            and refine_indexes_iters >= 3
+            and not search_kwargs
+        ):
+            search_method = "seqbeam"
+            refine_indexes_iters = 3
+            search_kwargs = dict(M=8, R=4)
+        else:
+            search_method = "beam"
     warm = re.fullmatch(r"cd(\d+)\+seqbeam", search_method)
     if search_method == "seqbeam" or warm:
         from ..ops.seqbeam import seqbeam_encode_indexes

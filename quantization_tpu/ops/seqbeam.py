@@ -9,10 +9,13 @@ beam bookkeeping) stays resident in VMEM for all passes.
 Quality: measured against the reference pair-tree beam search
 (`quantization/quantization.py:308-548`, 5 refinement iterations) on fully
 trained quantizers (relative reconstruction error deltas; the parity bar
-is 1%):  dim=512/8B flagship: M=16 x3 sweeps +0.46%, M=32 x3 +0.12%,
-M=32 x5 +0.07%, 2 coordinate-descent warm-start sweeps + M=16 x2 +0.67%;
-dim=64/4B (XLA prototype): M=32 x3 -0.9% (beats the reference).  See
-experiments/seqbeam_quality.py and the README quality table.
+is 1%).  dim=512/8B flagship, this kernel (v2): M=8/R=4 x3 passes +0.89%,
+M=16/R=4 x2 +0.74%, M=8/R=2 x3 +0.94% (experiments/kernel_quality_*.json);
+XLA-simulated sweep over (cd warm start x M x passes x R) in
+experiments/quality_sweep.py — notable: warm-start sweeps add nothing at
+equal beam work, and R=1 (no cross-parent competition) saturates at +1.26%,
+so the pool selection is load-bearing.  dim=64/4B: M=32 x3 -0.9% (beats the
+reference).  See the README quality table.
 
 TPU mapping notes (v5e, Mosaic), learned the hard way:
 * rescoring is one (M*B_t, dim) x (dim, cs) bf16 MXU matmul per codebook,
@@ -402,6 +405,7 @@ def _seqbeam_kernel_v2(
     idx0_ref,  # (B_t, nc) int32
     centers_ref,  # (nc*cs, D) bf16
     cs_sumsq_ref,  # (nc, cs) f32
+    gmod_ref,  # (nc*cs, cs) bf16: Gmod_t[i, j] = csq[t, j] - 2 c_t(i).c_t(j)
     # outputs
     out_ref,  # (B_t, nc) int32
     # scratch (same set as v1)
@@ -444,10 +448,11 @@ def _seqbeam_kernel_v2(
     so M-loops of small slices lose to one big op (measured 2.7x slower).
     """
     assert M % 8 == 0 and M <= 64, M  # beam reorder works in 8-row groups
-    assert B_t <= 128 and cs == 256 and nc % 2 == 0
-    assert M * R <= (1 << _LANE_BITS), (M, R)
+    assert B_t in (64, 128, 256) and cs == 256 and nc % 2 == 0
+    # pool packing: j (8 bits) + parent (log2 M bits) in the low mantissa
+    assert M & (M - 1) == 0 and M * R <= 512, (M, R)
     G = M // 8  # gather groups
-    CW = 128
+    CW = max(128, B_t)  # chosen-row lane width (must match the scratch shape)
     f32 = jnp.float32
     bf16 = jnp.bfloat16
     x = x_ref[:]  # (B_t, D)
@@ -496,13 +501,13 @@ def _seqbeam_kernel_v2(
         lane_h = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
         outs = []
         for _ in range(rounds):
-            val, pos, _ = _min_packed(jnp.minimum(lo, hi))
+            val, pos, emin = _min_packed(jnp.minimum(lo, hi))
             lo = jnp.where(lane_h == pos, _INF, lo)
             hi = jnp.where(lane_h == pos - 128, _INF, hi)
-            outs.append((val, pos))
+            outs.append((val, pos, emin))
         return outs
 
-    def codebook_step(t, src, dst_ref, ss_col, first, last):
+    def codebook_step(t, src, dst_ref, ss_col, first, last, ch_src, ch_dst):
         """One beam step on codebook t.  ``ss_col`` is the carried
         per-candidate ||E_m||^2 as an (M*B_t, 1) column (ignored when
         ``first``); returns the updated column.  ``src`` is the root error
@@ -510,15 +515,16 @@ def _seqbeam_kernel_v2(
         sol_t = sol_ref[pl.ds(t * B_t, B_t), :]  # (B_t, 1)
         ctab = centers_ref[pl.ds(t * cs, cs), :]  # (cs, D) bf16
         oh_cur = onehot_bt(sol_t)
+        # shared per-frame score row csq[j] - 2 c_t(i_t).c_t(j), as ONE
+        # one-hot matmul against the precomputed modified Gram block; its
+        # value at lane i_t is -csq[i_t], so cc comes from the same row.
         if "shared" in _SKIP and not first:
-            c_cur = jnp.zeros((B_t, D), f32)
-            q = jnp.zeros((B_t, cs), f32)
-            cc = jnp.zeros((B_t, 1), f32)
+            shared = jnp.zeros((B_t, cs), f32)
+            ccn = jnp.zeros((B_t, 1), f32)
         else:
-            c_cur = matmul(oh_cur, ctab)  # (B_t, D) f32
-            q = matmul_nt(c_cur, ctab)  # (B_t, cs)
-            cc = _gather_lane256(q, sol_t)  # (B_t, 1)
-        csq = cs_sumsq_ref[pl.ds(t, 1), :]  # (1, cs)
+            gmod_t = gmod_ref[pl.ds(t * cs, cs), :]  # (cs, cs) bf16
+            shared = matmul(oh_cur, gmod_t)  # (B_t, cs) f32
+            ccn = _gather_lane256(shared, sol_t)  # (B_t, 1) = -csq[i_t]
 
         if first:
             # root-only rescore + M-way fan-out (all candidates identical)
@@ -526,10 +532,10 @@ def _seqbeam_kernel_v2(
             cross0 = matmul_nt(e, ctab)  # (B_t, cs)
             ss0 = jnp.sum(e * e, axis=1, keepdims=True)  # (B_t, 1)
             Ec0 = _gather_lane256(cross0, sol_t)
-            S0 = (ss0 - 2.0 * Ec0 + cc) + csq + 2.0 * (cross0 - q)
+            S0 = (ss0 - 2.0 * Ec0 - ccn) + shared + 2.0 * cross0
             picks = folded_rounds(S0, M)
-            v_cols = [v for v, _ in picks]
-            j_cols = [p for _, p in picks]
+            v_cols = [v for v, _, _ in picks]
+            j_cols = [p for _, p, _ in picks]
             parent = None
         else:
             # ---- rescore: cross[m*B_t+b, j] = E_m . c_t(j)  (MXU)
@@ -540,28 +546,31 @@ def _seqbeam_kernel_v2(
             else:
                 sol_stack = jnp.concatenate([sol_t] * M, axis=0)  # (M*B_t, 1)
                 Ec = _gather_lane256(cross_ref[:, :], sol_stack)  # (M*B_t, 1)
-                cc_stack = jnp.concatenate([cc] * M, axis=0)
-                q_stack = jnp.concatenate([q] * M, axis=0)  # (M*B_t, cs)
+                ccn_stack = jnp.concatenate([ccn] * M, axis=0)
+                shared_stack = jnp.concatenate([shared] * M, axis=0)
                 S_full = (
-                    (ss_col - 2.0 * Ec + cc_stack)
-                    + csq
-                    + 2.0 * (cross_ref[:, :] - q_stack)
+                    (ss_col - 2.0 * Ec - ccn_stack)
+                    + shared_stack
+                    + 2.0 * cross_ref[:, :]
                 )
             if "sel" in _SKIP:
                 v_cols = [jnp.zeros((B_t, 1), f32)] * M
                 j_cols = [sol_t] * M
                 parent = jnp.zeros((B_t, M), jnp.int32)
-            else:
-                # ---- selection: top-R per parent, then top-M of the pool
+            elif "pool" in _SKIP:
+                # R rounds only; fake the pool outcome (timing bisect)
                 picks = folded_rounds(S_full, R)
-                vR = jnp.concatenate([v for v, _ in picks], axis=1)  # (M*B_t, R)
-                jR = jnp.concatenate([p for _, p in picks], axis=1)
-                pool_v = jnp.concatenate(
-                    [vR[m * B_t : (m + 1) * B_t, :] for m in range(M)], axis=1
-                )  # (B_t, M*R)
-                pool_j = jnp.concatenate(
-                    [jR[m * B_t : (m + 1) * B_t, :] for m in range(M)], axis=1
+                vR = jnp.concatenate([v for v, _, _ in picks], axis=1)
+                jR = jnp.concatenate([p for _, p, _ in picks], axis=1)
+                v_cols = [vR[m * B_t : (m + 1) * B_t, 0:1] for m in range(M)]
+                j_cols = [jR[m * B_t : (m + 1) * B_t, 0:1] for m in range(M)]
+                parent = jnp.zeros((B_t, M), jnp.int32)
+            elif "rrounds" in _SKIP:
+                # pool rounds only, on fake per-parent winners (timing bisect)
+                pool_v = jnp.sum(S_full[0:B_t, :], axis=1, keepdims=True) + (
+                    jnp.zeros((B_t, M * R), f32)
                 )
+                pool_j = jnp.zeros((B_t, M * R), jnp.int32)
                 enc_pool = _encode_scores(pool_v, lane_pool)
                 v_cols, j_cols, p_cols = [], [], []
                 for _ in range(M):
@@ -576,6 +585,36 @@ def _seqbeam_kernel_v2(
                             keepdims=True,
                         )
                     )
+                parent = jnp.concatenate(p_cols, axis=1)
+            else:
+                # ---- selection: top-R per parent, then top-M of the pool.
+                # Pool entries carry (parent m, index j) INSIDE the packed
+                # value: j sits in the low 8 mantissa bits (from the per-row
+                # rounds), m is overlaid on the next log2(M) bits.  Each
+                # round is then min + one equality mask + bit extraction --
+                # no lane-position bookkeeping or masked j lookup.  (m, j)
+                # pairs are unique, so the equality mask hits exactly once.
+                picks = folded_rounds(S_full, R)
+                vRe = jnp.concatenate([e for _, _, e in picks], axis=1)
+                pool0 = jnp.concatenate(
+                    [vRe[m * B_t : (m + 1) * B_t, :] for m in range(M)], axis=1
+                )  # (B_t, M*R) packed scores, j in low bits
+                mbits = (M - 1) << _LANE_BITS
+                mconst = (lane_pool // R) << _LANE_BITS
+                penc = pltpu.bitcast(
+                    (pltpu.bitcast(pool0, jnp.int32) & ~mbits) | mconst,
+                    jnp.float32,
+                )
+                v_cols, j_cols, p_cols = [], [], []
+                for _ in range(M):
+                    emin = jnp.min(penc, axis=1, keepdims=True)
+                    penc = jnp.where(penc == emin, _INF, penc)
+                    bits = pltpu.bitcast(emin, jnp.int32)
+                    j_cols.append(bits & _LANE_MASK)
+                    p_cols.append((bits >> _LANE_BITS) & (M - 1))
+                    v_cols.append(
+                        pltpu.bitcast(bits & ~(mbits | _LANE_MASK), jnp.float32)
+                    )
                 parent = jnp.concatenate(p_cols, axis=1)  # (B_t, M)
 
         ss_new = jnp.concatenate(v_cols, axis=0)  # (M*B_t, 1)
@@ -584,7 +623,7 @@ def _seqbeam_kernel_v2(
         j_pad = pad_row(j.T)  # (M, CW)
         parent_T = None if first else parent.T  # (M, B_t)
 
-        # ---- chosen bookkeeping
+        # ---- chosen bookkeeping (ping-pong by step parity, no copy back)
         if "chosen" in _SKIP:
             pass
         elif first:
@@ -592,25 +631,24 @@ def _seqbeam_kernel_v2(
             for s in range(nc):
                 sol_row = pad_row(sol_ref[pl.ds(s * B_t, B_t), :].T)  # (1, CW)
                 for m in range(M):
-                    chosen_ref[pl.ds(m * nc + s, 1), :] = sol_row
+                    ch_dst[pl.ds(m * nc + s, 1), :] = sol_row
             for m in range(M):
-                chosen_ref[pl.ds(m * nc + t, 1), :] = j_pad[m : m + 1]
+                ch_dst[pl.ds(m * nc + t, 1), :] = j_pad[m : m + 1]
         else:
             parent_pad = pad_row(parent_T)  # (M, CW)
             idx_ch = jnp.concatenate([parent_pad] * nc, axis=1)  # (M, nc*CW)
             ch_groups = [
-                chosen_ref[g * 8 * nc : (g + 1) * 8 * nc, :].reshape(8, nc * CW)
+                ch_src[g * 8 * nc : (g + 1) * 8 * nc, :].reshape(8, nc * CW)
                 for g in range(G)
             ]
             for g in range(G):
-                chosen2_ref[g * 8 * nc : (g + 1) * 8 * nc, :] = (
+                ch_dst[g * 8 * nc : (g + 1) * 8 * nc, :] = (
                     _gather_rows_grouped(
                         ch_groups, idx_ch[8 * g : 8 * (g + 1)]
                     ).reshape(8 * nc, CW)
                 )
             for m in range(M):
-                chosen2_ref[pl.ds(m * nc + t, 1), :] = j_pad[m : m + 1]
-            chosen_ref[:, :] = chosen2_ref[:, :]
+                ch_dst[pl.ds(m * nc + t, 1), :] = j_pad[m : m + 1]
 
         if last:
             return ss_new  # scores + chosen are all the pass end needs
@@ -666,16 +704,28 @@ def _seqbeam_kernel_v2(
 
         e = jax.lax.fori_loop(0, nc, add_codebook, -x)
 
-        ss = codebook_step(0, e, EA_ref, None, first=True, last=False)
+        # chosen parity: step 0 seeds A; odd steps gather A->B, even B->A;
+        # nc is even, so the last (odd) step always leaves the state in B.
+        ss = codebook_step(
+            0, e, EA_ref, None, True, False, chosen_ref, chosen_ref
+        )
 
         def pair_step(i, ss):
-            ss = codebook_step(2 * i + 1, EA_ref, EB_ref, ss, False, False)
-            ss = codebook_step(2 * i + 2, EB_ref, EA_ref, ss, False, False)
+            ss = codebook_step(
+                2 * i + 1, EA_ref, EB_ref, ss, False, False,
+                chosen_ref, chosen2_ref,
+            )
+            ss = codebook_step(
+                2 * i + 2, EB_ref, EA_ref, ss, False, False,
+                chosen2_ref, chosen_ref,
+            )
             return ss
 
         if nc > 2:
             ss = jax.lax.fori_loop(0, (nc - 2) // 2, pair_step, ss)
-        ss = codebook_step(nc - 1, EA_ref, EB_ref, ss, first=False, last=True)
+        ss = codebook_step(
+            nc - 1, EA_ref, EB_ref, ss, False, True, chosen_ref, chosen2_ref
+        )
 
         # ---- pass end: best candidate via block-wise packed min over the
         # ss column (m ids in the low mantissa bits, like v1's lane packing)
@@ -692,7 +742,7 @@ def _seqbeam_kernel_v2(
             [jnp.broadcast_to(best_pad, (8, CW))] * nc, axis=1
         )
         ch_groups = [
-            chosen_ref[g * 8 * nc : (g + 1) * 8 * nc, :].reshape(8, nc * CW)
+            chosen2_ref[g * 8 * nc : (g + 1) * 8 * nc, :].reshape(8, nc * CW)
             for g in range(G)
         ]
         winner = _gather_rows_grouped(ch_groups, idx_best)  # (8, nc*CW)
@@ -747,29 +797,41 @@ def seqbeam_encode_indexes(
     centers = scaled_centers(params, config.scale_speed).astype(jnp.float32)
     centers_flat = centers.reshape(nc * cs, D).astype(jnp.bfloat16)
     cs_sumsq = jnp.sum(centers * centers, axis=-1)  # (nc, cs) f32
+    # modified per-codebook Gram blocks: Gmod_t[i, j] = csq[t,j] - 2 c_i.c_j
+    gram = jnp.einsum("tid,tjd->tij", centers, centers)
+    gmod_flat = (cs_sumsq[:, None, :] - 2.0 * gram).reshape(
+        nc * cs, cs
+    ).astype(jnp.bfloat16)
 
     scratch = [
         pltpu.VMEM((M * block_b, D), jnp.float32),
         pltpu.VMEM((M * block_b, D), jnp.float32),
         pltpu.VMEM((M * block_b, cs), jnp.float32),
-        pltpu.VMEM((M * nc, 128), jnp.int32),
-        pltpu.VMEM((M * nc, 128), jnp.int32),
+        pltpu.VMEM((M * nc, max(128, block_b)), jnp.int32),
+        pltpu.VMEM((M * nc, max(128, block_b)), jnp.int32),
         pltpu.VMEM((nc * block_b, 1), jnp.int32),
     ]
     kfn = _seqbeam_kernel_v2 if impl == "v2" else _seqbeam_kernel
     kernel = functools.partial(
         kfn, B_t=block_b, D=D, nc=nc, cs=cs, M=M, R=R, passes=passes
     )
+    in_specs = [
+        pl.BlockSpec((block_b, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_b, nc), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nc * cs, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nc, cs), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs = [x, idx0, centers_flat, cs_sumsq]
+    if impl == "v2":
+        in_specs.append(
+            pl.BlockSpec((nc * cs, cs), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+        inputs.append(gmod_flat)
     grid = (B_pad // block_b,)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_b, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, nc), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nc * cs, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nc, cs), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (block_b, nc), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
@@ -779,5 +841,5 @@ def seqbeam_encode_indexes(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x, idx0, centers_flat, cs_sumsq)
+    )(*inputs)
     return out[:B]

@@ -85,7 +85,9 @@ class TestSeqbeamKernel:
         truncated to 15 mantissa bits, ties to the lowest lane), carried
         candidate sumsq, and the one-hot-difference extension matmul."""
         config, params, x = _setup(jax.random.PRNGKey(5), 128, 256, 4, B=128)
-        out = seqbeam_encode_indexes(params, config, x, passes=2, interpret=True)
+        out = seqbeam_encode_indexes(
+            params, config, x, passes=2, interpret=True, impl="v1"
+        )
 
         M, R, passes = 16, 8, 2
         LM = 255  # lane mask (8 bits)
@@ -189,6 +191,24 @@ class TestSeqbeamKernel:
             sol = chosen[best[:, 0], np.arange(B), :]
 
         assert (np.asarray(out) == sol).all()
+
+    def test_v2_matches_v1_quality(self):
+        """The v2 kernel reorganizes the score assembly (Gram-folded shared
+        row, packed-parent pool), changing f32 association order and the
+        shared-term rounding (bf16 Gram input), so outputs are not bit-equal
+        to v1 — but the reconstruction error must be equal to ~1e-4 relative
+        and the selected indexes nearly identical."""
+        config, params, x = _setup(jax.random.PRNGKey(5), 128, 256, 4, B=128)
+        o1 = seqbeam_encode_indexes(
+            params, config, x, passes=2, interpret=True, impl="v1"
+        )
+        o2 = seqbeam_encode_indexes(
+            params, config, x, passes=2, interpret=True, impl="v2"
+        )
+        centers = core.scaled_centers(params, config.scale_speed)
+        e1, e2 = _err(centers, x, o1).sum(), _err(centers, x, o2).sum()
+        assert abs(e2 - e1) / e1 < 1e-3, (e1, e2)
+        assert (np.asarray(o1) == np.asarray(o2)).mean() > 0.95
 
     def test_improves_over_init_and_padding(self):
         config, params, x = _setup(jax.random.PRNGKey(6), 128, 256, 2, B=100)
