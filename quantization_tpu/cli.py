@@ -191,8 +191,9 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--chunk", type=int, default=100, help="steps per dispatch")
     p.add_argument("--init", choices=["default", "multi_kmeans"], default="default")
-    p.add_argument("--train-search", default="beam",
-                   help="beam | seqbeam (kernel, TPU phase 2)")
+    p.add_argument("--train-search", default="auto",
+                   help="auto (kernel where supported on TPU; default) | "
+                        "beam | seqbeam")
     p.add_argument("--quiet", action="store_true")
     p.set_defaults(fn=cmd_train)
 

@@ -193,7 +193,7 @@ class QuantizerTrainer:
         entropy_scale: float = 0.01,
         diagnostics: bool = True,
         mesh: Optional[jax.sharding.Mesh] = None,
-        train_search: str = "beam",
+        train_search: str = "auto",
         init: str = "default",
         init_data=None,
         init_iters: int = 300,
@@ -208,9 +208,11 @@ class QuantizerTrainer:
         self.entropy_scale = entropy_scale
         self.diagnostics = diagnostics
         self.mesh = mesh
-        # "seqbeam" routes the training index search through the fused
-        # Pallas kernel where the config supports it (phase 2 of flagship
-        # configs); phase 1 (codebook_size 16) always uses the XLA beam.
+        # "auto"/"seqbeam" route the training index search through the
+        # fused Pallas kernel where the config supports it on TPU (phase 2
+        # of flagship configs: +22% steps/s at equal loss, measured in
+        # experiments/train_speed_r2.log); phase 1 (codebook_size 16) and
+        # non-TPU backends always use the XLA beam.
         self.train_search = train_search
 
         if seed is None:
@@ -352,10 +354,14 @@ class QuantizerTrainer:
     # ------------------------------------------------------------- internals
 
     def _search_for_config(self) -> str:
-        if self.train_search == "seqbeam":
+        if self.train_search in ("seqbeam", "auto"):
             from ..ops.seqbeam import SEQBEAM_SUPPORTED
 
-            return "seqbeam" if SEQBEAM_SUPPORTED(self.config) else "beam"
+            use_kernel = SEQBEAM_SUPPORTED(self.config) and (
+                self.train_search == "seqbeam"
+                or jax.default_backend() == "tpu"
+            )
+            return "seqbeam" if use_kernel else "beam"
         return self.train_search
 
     def _lr_for_iter(self, cur_iter: int) -> float:
