@@ -40,12 +40,16 @@ for dim, bpf in ((256, 4), (512, 8)):
     B = 8192
     mk = lambda i: jax.random.normal(jax.random.PRNGKey(100 + i), (B, dim))
 
-    for method, iters in (("beam", 5), ("seqbeam", 3), ("cd", 5)):
+    for method, iters, kw in (
+        ("beam", 5, {}),
+        ("seqbeam", 3, dict(M=8, R=4)),  # the round-2 headline config
+        ("cd", 5, {}),
+    ):
         if method == "seqbeam" and not SEQBEAM_SUPPORTED(cfg):
             continue
         f = jax.jit(
-            lambda p, x, m=method, it=iters: core.encode(
-                p, cfg, x, refine_indexes_iters=it, search_method=m
+            lambda p, x, m=method, it=iters, k=kw: core.encode(
+                p, cfg, x, refine_indexes_iters=it, search_method=m, **k
             )
         )
         dt = fetch_time(f, (params, mk(99)), make_fresh=mk)
