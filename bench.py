@@ -112,15 +112,28 @@ def main() -> None:
     # (small, uint8) outputs).
     import numpy as np
 
-    try:
-        np.asarray(enc(params, xs[0]))
-    except Exception as e:  # Mosaic kernel unavailable on this toolchain:
-        # fall back to the pure-XLA reference-parity beam so a number is
-        # always produced.
-        print(f"seqbeam kernel unavailable ({type(e).__name__}); "
-              "falling back to XLA beam", file=sys.stderr)
+    def warmup(fn, attempts=3):
+        # The tunneled chip occasionally throws a transient
+        # FAILED_PRECONDITION right after another process released it;
+        # retry before concluding the kernel is unavailable.
+        for i in range(attempts):
+            try:
+                np.asarray(fn(params, xs[0]))
+                return True
+            except Exception as e:
+                print(f"warmup attempt {i + 1}/{attempts} failed: "
+                      f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+                time.sleep(30)
+        return False
+
+    if not warmup(enc):
+        # Mosaic kernel unavailable on this toolchain: fall back to the
+        # pure-XLA reference-parity beam so a number is always produced.
+        print("seqbeam kernel unavailable; falling back to XLA beam",
+              file=sys.stderr)
         enc = make_enc("beam", 5)
-        np.asarray(enc(params, xs[0]))
+        if not warmup(enc):
+            raise RuntimeError("device unavailable for benchmarking")
 
     t0 = time.perf_counter()
     outs = [enc(params, x) for x in xs[1:]]  # queue all dispatches
