@@ -408,14 +408,9 @@ def _seqbeam_kernel_v2(
     gmod_ref,  # (nc*cs, cs) bf16: Gmod_t[i, j] = csq[t, j] - 2 c_t(i).c_t(j)
     # outputs
     out_ref,  # (B_t, nc) int32
-    # scratch (same set as v1)
-    EA_ref,  # (M*B_t, D) f32  candidate error vectors (ping)
-    EB_ref,  # (M*B_t, D) f32  candidate error vectors (pong)
-    cross_ref,  # (M*B_t, cs) f32
-    chosen_ref,  # (M*nc, 128) int32  row m*nc + t; first B_t lanes used
-    chosen2_ref,  # (M*nc, 128) int32
-    sol_ref,  # (nc*B_t, 1) int32  root solution column, layout t*B_t + b
-    *,
+    # scratch: SUBT sets of (EA, EB, cross, chosenA, chosenB, sol), each
+    # sized for the B_s = B_t // SUBT sub-tile
+    *scratch,
     B_t: int,
     D: int,
     nc: int,
@@ -423,50 +418,63 @@ def _seqbeam_kernel_v2(
     M: int,
     R: int,
     passes: int,
+    SUBT: int = 1,
 ):
-    """Restructured sequential-beam kernel (v2) — bit-identical semantics to
-    v1, with the VPU bookkeeping cut down:
+    """Restructured sequential-beam kernel (v2).
+
+    Design notes (each measured on v5e):
 
     * carried per-candidate state (sumsq, selected index) lives in
-      (M*B_t, 1) COLUMN values assembled by one sublane concat of the
-      selection rounds\' outputs — the masked-reduce column-stacking
-      (``cols_to_colstack``) is gone;
+      (M*B_s, 1) COLUMN values assembled by one sublane concat of the
+      selection rounds' outputs — no masked-reduce column-stacking;
     * the t=0 step fans out from the root solution directly: its rescore is
-      (B_t, D) x (D, cs) (1/M of a full step), E rows are created by the
-      extension matmul itself (no M-fold E pre-fill, no reorder, and no
-      per-step ``lax.cond`` compiling both fanout and cap-R branches);
+      (B_s, D) x (D, cs) (1/M of a full step), E rows are created by the
+      extension matmul itself (no M-fold E pre-fill, no reorder, no
+      per-step lax.cond);
     * the final codebook step of each pass skips the E extension/reorder
-      entirely (only scores and chosen bookkeeping survive a pass);
-    * selection folds the 256-lane score matrix to 128 lanes up front (the
-      packed ids already cover 256), nearly halving every argmin round;
-    * the pass-end winner is reduced block-wise over the ss column (M-1
-      tiny packed mins) instead of re-stacking to (B_t, M) lanes.
+      entirely;
+    * the per-step shared score row csq[j] - 2 c(i).c(j) is ONE one-hot
+      matmul against a precomputed modified Gram block (its value at lane
+      i is -csq[i], so the cc term falls out of the same gather);
+    * selection folds the 256-lane score matrix to 128 lanes up front (ids
+      packed first, so results are identical), and the pool rounds carry
+      (parent, index) inside the packed mantissa bits — min + one equality
+      mask + bit extraction per round;
+    * the chosen buffers ping-pong by step parity (no copy back);
+    * with SUBT=2 the batch tile is split into two independent sub-tiles
+      whose codebook steps are interleaved in one instruction stream: one
+      sub-tile's rescore MXU matmul overlaps the other's selection VPU
+      chain (Mosaic overlaps independent chains; measured ~60% of a VPU
+      chain hidden under a concurrent MXU chain).  Per-frame semantics are
+      identical to SUBT=1.
 
-    All remaining arithmetic (score assembly, packed-mantissa selection,
-    one-hot-difference extension, grouped sublane gathers) is unchanged
-    from v1, in matrix-at-a-time ops — Mosaic pays a fixed overhead per op,
-    so M-loops of small slices lose to one big op (measured 2.7x slower).
+    All bulk arithmetic is matrix-at-a-time: an M-loop of per-candidate
+    slice ops measured 2.7x SLOWER than full-matrix stacks (Mosaic pays a
+    fixed cost per op).
     """
     assert M % 8 == 0 and M <= 64, M  # beam reorder works in 8-row groups
-    assert B_t in (64, 128, 256) and cs == 256 and nc % 2 == 0
+    assert B_t % SUBT == 0, (B_t, SUBT)
+    B_s = B_t // SUBT
+    assert B_s in (64, 128, 256) and cs == 256 and nc % 2 == 0
     # pool packing: j (8 bits) + parent (log2 M bits) in the low mantissa
     assert M & (M - 1) == 0 and M * R <= 512, (M, R)
+    assert len(scratch) == 6 * SUBT, len(scratch)
+    ctxs = [tuple(scratch[i * 6 : (i + 1) * 6]) for i in range(SUBT)]
     G = M // 8  # gather groups
-    CW = max(128, B_t)  # chosen-row lane width (must match the scratch shape)
+    CW = max(128, B_s)  # chosen-row lane width (must match scratch shape)
     f32 = jnp.float32
     bf16 = jnp.bfloat16
-    x = x_ref[:]  # (B_t, D)
-    lane_cs = jax.lax.broadcasted_iota(jnp.int32, (B_t, cs), 1)
-    lane_full = jax.lax.broadcasted_iota(jnp.int32, (M * B_t, cs), 1)
-    lane_pool = jax.lax.broadcasted_iota(jnp.int32, (B_t, M * R), 1)
+    lane_cs = jax.lax.broadcasted_iota(jnp.int32, (B_s, cs), 1)
+    lane_full = jax.lax.broadcasted_iota(jnp.int32, (M * B_s, cs), 1)
+    lane_pool = jax.lax.broadcasted_iota(jnp.int32, (B_s, M * R), 1)
 
-    def pad_row(row):  # (rows, B_t) -> (rows, CW)
-        if B_t == CW:
+    def pad_row(row):  # (rows, B_s) -> (rows, CW)
+        if B_s == CW:
             return row
         r = row.shape[0]
-        return jnp.concatenate([row, jnp.zeros((r, CW - B_t), row.dtype)], axis=1)
+        return jnp.concatenate([row, jnp.zeros((r, CW - B_s), row.dtype)], axis=1)
 
-    def onehot_bt(idx_col):  # (B_t, 1) int32 -> (B_t, cs) bf16
+    def onehot_bt(idx_col):  # (B_s, 1) int32 -> (B_s, cs) bf16
         return (lane_cs == idx_col).astype(bf16)
 
     def matmul(a, b):
@@ -480,19 +488,21 @@ def _seqbeam_kernel_v2(
             preferred_element_type=f32,
         )
 
-    # ---- init: root solution column from idx0 (lane-masked reduce per
-    # codebook: direct idx0 column slices carry lane offsets Mosaic rejects).
+    # ---- init: per-sub root solution columns from idx0
     idx0 = idx0_ref[:]  # (B_t, nc)
-    lane_nc = jax.lax.broadcasted_iota(jnp.int32, (B_t, nc), 1)
-    for t in range(nc):
-        sol_ref[t * B_t : (t + 1) * B_t, :] = jnp.sum(
-            jnp.where(lane_nc == t, idx0, 0), axis=1, keepdims=True
-        )
+    lane_nc = jax.lax.broadcasted_iota(jnp.int32, (B_s, nc), 1)
+    for sub in range(SUBT):
+        sol_ref = ctxs[sub][5]
+        idx0_s = jax.lax.slice(idx0, (sub * B_s, 0), ((sub + 1) * B_s, nc))
+        for t in range(nc):
+            sol_ref[t * B_s : (t + 1) * B_s, :] = jnp.sum(
+                jnp.where(lane_nc == t, idx0_s, 0), axis=1, keepdims=True
+            )
 
     def folded_rounds(S, rounds):
-        """``rounds`` packed-min extractions over raw scores S (rows, cs=256),
-        with the matrix folded to 128 lanes once up front (ids are packed
-        before folding, so results are identical to full-width rounds)."""
+        """``rounds`` packed-min extractions over raw scores S (rows, 256),
+        folded to 128 lanes once up front (ids are packed before folding,
+        so results are identical to full-width rounds)."""
         rows = S.shape[0]
         lanes = jax.lax.broadcasted_iota(jnp.int32, (rows, cs), 1)
         enc = _encode_scores(S, lanes)
@@ -507,30 +517,29 @@ def _seqbeam_kernel_v2(
             outs.append((val, pos, emin))
         return outs
 
-    def codebook_step(t, src, dst_ref, ss_col, first, last, ch_src, ch_dst):
-        """One beam step on codebook t.  ``ss_col`` is the carried
-        per-candidate ||E_m||^2 as an (M*B_t, 1) column (ignored when
-        ``first``); returns the updated column.  ``src`` is the root error
-        VALUE (B_t, D) when ``first``, else the E ping buffer ref."""
-        sol_t = sol_ref[pl.ds(t * B_t, B_t), :]  # (B_t, 1)
+    def codebook_step(t, ctx, src, dst_ref, ss_col, first, last, ch_src, ch_dst):
+        """One beam step on codebook t for one sub-tile.  ``ss_col`` is the
+        carried per-candidate ||E_m||^2 as an (M*B_s, 1) column (ignored
+        when ``first``); returns the updated column.  ``src`` is the root
+        error VALUE (B_s, D) when ``first``, else the E ping buffer ref."""
+        _, _, cross_ref, _, _, sol_ref = ctx
+        sol_t = sol_ref[pl.ds(t * B_s, B_s), :]  # (B_s, 1)
         ctab = centers_ref[pl.ds(t * cs, cs), :]  # (cs, D) bf16
         oh_cur = onehot_bt(sol_t)
-        # shared per-frame score row csq[j] - 2 c_t(i_t).c_t(j), as ONE
-        # one-hot matmul against the precomputed modified Gram block; its
-        # value at lane i_t is -csq[i_t], so cc comes from the same row.
+        # shared per-frame score row csq[j] - 2 c_t(i_t).c_t(j)
         if "shared" in _SKIP and not first:
-            shared = jnp.zeros((B_t, cs), f32)
-            ccn = jnp.zeros((B_t, 1), f32)
+            shared = jnp.zeros((B_s, cs), f32)
+            ccn = jnp.zeros((B_s, 1), f32)
         else:
             gmod_t = gmod_ref[pl.ds(t * cs, cs), :]  # (cs, cs) bf16
-            shared = matmul(oh_cur, gmod_t)  # (B_t, cs) f32
-            ccn = _gather_lane256(shared, sol_t)  # (B_t, 1) = -csq[i_t]
+            shared = matmul(oh_cur, gmod_t)  # (B_s, cs) f32
+            ccn = _gather_lane256(shared, sol_t)  # (B_s, 1) = -csq[i_t]
 
         if first:
             # root-only rescore + M-way fan-out (all candidates identical)
-            e = src  # (B_t, D) value
-            cross0 = matmul_nt(e, ctab)  # (B_t, cs)
-            ss0 = jnp.sum(e * e, axis=1, keepdims=True)  # (B_t, 1)
+            e = src  # (B_s, D) value
+            cross0 = matmul_nt(e, ctab)  # (B_s, cs)
+            ss0 = jnp.sum(e * e, axis=1, keepdims=True)  # (B_s, 1)
             Ec0 = _gather_lane256(cross0, sol_t)
             S0 = (ss0 - 2.0 * Ec0 - ccn) + shared + 2.0 * cross0
             picks = folded_rounds(S0, M)
@@ -538,14 +547,14 @@ def _seqbeam_kernel_v2(
             j_cols = [p for _, p, _ in picks]
             parent = None
         else:
-            # ---- rescore: cross[m*B_t+b, j] = E_m . c_t(j)  (MXU)
+            # ---- rescore: cross[m*B_s+b, j] = E_m . c_t(j)  (MXU)
             if "rescore" not in _SKIP:
                 cross_ref[:, :] = matmul_nt(src[:, :], ctab)
             if "assembly" in _SKIP:
                 S_full = cross_ref[:, :]
             else:
-                sol_stack = jnp.concatenate([sol_t] * M, axis=0)  # (M*B_t, 1)
-                Ec = _gather_lane256(cross_ref[:, :], sol_stack)  # (M*B_t, 1)
+                sol_stack = jnp.concatenate([sol_t] * M, axis=0)  # (M*B_s, 1)
+                Ec = _gather_lane256(cross_ref[:, :], sol_stack)
                 ccn_stack = jnp.concatenate([ccn] * M, axis=0)
                 shared_stack = jnp.concatenate([shared] * M, axis=0)
                 S_full = (
@@ -554,51 +563,21 @@ def _seqbeam_kernel_v2(
                     + 2.0 * cross_ref[:, :]
                 )
             if "sel" in _SKIP:
-                v_cols = [jnp.zeros((B_t, 1), f32)] * M
+                v_cols = [jnp.zeros((B_s, 1), f32)] * M
                 j_cols = [sol_t] * M
-                parent = jnp.zeros((B_t, M), jnp.int32)
-            elif "pool" in _SKIP:
-                # R rounds only; fake the pool outcome (timing bisect)
-                picks = folded_rounds(S_full, R)
-                vR = jnp.concatenate([v for v, _, _ in picks], axis=1)
-                jR = jnp.concatenate([p for _, p, _ in picks], axis=1)
-                v_cols = [vR[m * B_t : (m + 1) * B_t, 0:1] for m in range(M)]
-                j_cols = [jR[m * B_t : (m + 1) * B_t, 0:1] for m in range(M)]
-                parent = jnp.zeros((B_t, M), jnp.int32)
-            elif "rrounds" in _SKIP:
-                # pool rounds only, on fake per-parent winners (timing bisect)
-                pool_v = jnp.sum(S_full[0:B_t, :], axis=1, keepdims=True) + (
-                    jnp.zeros((B_t, M * R), f32)
-                )
-                pool_j = jnp.zeros((B_t, M * R), jnp.int32)
-                enc_pool = _encode_scores(pool_v, lane_pool)
-                v_cols, j_cols, p_cols = [], [], []
-                for _ in range(M):
-                    val, pos, _ = _min_packed(enc_pool)
-                    enc_pool = jnp.where(lane_pool == pos, _INF, enc_pool)
-                    v_cols.append(val)
-                    p_cols.append(pos // R)
-                    j_cols.append(
-                        jnp.sum(
-                            jnp.where(lane_pool == pos, pool_j, 0),
-                            axis=1,
-                            keepdims=True,
-                        )
-                    )
-                parent = jnp.concatenate(p_cols, axis=1)
+                parent = jnp.zeros((B_s, M), jnp.int32)
             else:
                 # ---- selection: top-R per parent, then top-M of the pool.
                 # Pool entries carry (parent m, index j) INSIDE the packed
-                # value: j sits in the low 8 mantissa bits (from the per-row
-                # rounds), m is overlaid on the next log2(M) bits.  Each
-                # round is then min + one equality mask + bit extraction --
-                # no lane-position bookkeeping or masked j lookup.  (m, j)
-                # pairs are unique, so the equality mask hits exactly once.
+                # value: j in the low 8 mantissa bits (from the per-row
+                # rounds), m overlaid on the next log2(M) bits.  Each round
+                # is min + one equality mask + bit extraction; (m, j) pairs
+                # are unique, so the equality mask hits exactly once.
                 picks = folded_rounds(S_full, R)
-                vRe = jnp.concatenate([e for _, _, e in picks], axis=1)
+                vRe = jnp.concatenate([e_ for _, _, e_ in picks], axis=1)
                 pool0 = jnp.concatenate(
-                    [vRe[m * B_t : (m + 1) * B_t, :] for m in range(M)], axis=1
-                )  # (B_t, M*R) packed scores, j in low bits
+                    [vRe[m * B_s : (m + 1) * B_s, :] for m in range(M)], axis=1
+                )  # (B_s, M*R) packed scores, j in low bits
                 mbits = (M - 1) << _LANE_BITS
                 mconst = (lane_pool // R) << _LANE_BITS
                 penc = pltpu.bitcast(
@@ -615,21 +594,22 @@ def _seqbeam_kernel_v2(
                     v_cols.append(
                         pltpu.bitcast(bits & ~(mbits | _LANE_MASK), jnp.float32)
                     )
-                parent = jnp.concatenate(p_cols, axis=1)  # (B_t, M)
+                parent = jnp.concatenate(p_cols, axis=1)  # (B_s, M)
 
-        ss_new = jnp.concatenate(v_cols, axis=0)  # (M*B_t, 1)
-        j_col = jnp.concatenate(j_cols, axis=0)  # (M*B_t, 1)
-        j = jnp.concatenate(j_cols, axis=1)  # (B_t, M)
+        ss_new = jnp.concatenate(v_cols, axis=0)  # (M*B_s, 1)
+        j_col = jnp.concatenate(j_cols, axis=0)  # (M*B_s, 1)
+        j = jnp.concatenate(j_cols, axis=1)  # (B_s, M)
         j_pad = pad_row(j.T)  # (M, CW)
-        parent_T = None if first else parent.T  # (M, B_t)
+        parent_T = None if first else parent.T  # (M, B_s)
 
         # ---- chosen bookkeeping (ping-pong by step parity, no copy back)
         if "chosen" in _SKIP:
             pass
         elif first:
             # seed all candidates from the root solution, overwrite row t
+            _, _, _, _, _, sol_ref_ = ctx
             for s in range(nc):
-                sol_row = pad_row(sol_ref[pl.ds(s * B_t, B_t), :].T)  # (1, CW)
+                sol_row = pad_row(sol_ref_[pl.ds(s * B_s, B_s), :].T)  # (1, CW)
                 for m in range(M):
                     ch_dst[pl.ds(m * nc + s, 1), :] = sol_row
             for m in range(M):
@@ -660,107 +640,142 @@ def _seqbeam_kernel_v2(
             oh_diff = (lane_full == j_col).astype(bf16) - jnp.concatenate(
                 [oh_cur] * M, axis=0
             )
-            c_delta = matmul(oh_diff, ctab)  # (M*B_t, D)
+            c_delta = matmul(oh_diff, ctab)  # (M*B_s, D)
         if first:
             if c_delta is not None:
-                e_stack = jnp.concatenate([src] * M, axis=0)  # (M*B_t, D)
+                e_stack = jnp.concatenate([src] * M, axis=0)  # (M*B_s, D)
                 dst_ref[:, :] = e_stack + c_delta
         else:
             e_groups = [
-                src[g * 8 * B_t : (g + 1) * 8 * B_t, :].reshape(8, B_t * D)
+                src[g * 8 * B_s : (g + 1) * 8 * B_s, :].reshape(8, B_s * D)
                 for g in range(G)
             ]
 
             def idx_for_half(h):
-                ph = jax.lax.slice(parent_T, (8 * h, 0), (8 * (h + 1), B_t))
-                return jnp.broadcast_to(ph[:, :, None], (8, B_t, D)).reshape(
-                    8, B_t * D
+                ph = jax.lax.slice(parent_T, (8 * h, 0), (8 * (h + 1), B_s))
+                return jnp.broadcast_to(ph[:, :, None], (8, B_s, D)).reshape(
+                    8, B_s * D
                 )
 
             for h in range(G):
                 if "reorder" in _SKIP:
-                    picked = src[8 * h * B_t : 8 * (h + 1) * B_t, :]
+                    picked = src[8 * h * B_s : 8 * (h + 1) * B_s, :]
                 else:
                     picked = _gather_rows_grouped(
                         e_groups, idx_for_half(h)
-                    ).reshape(8 * B_t, D)
-                dst_ref[8 * h * B_t : 8 * (h + 1) * B_t, :] = (
+                    ).reshape(8 * B_s, D)
+                dst_ref[8 * h * B_s : 8 * (h + 1) * B_s, :] = (
                     picked
                     + (
-                        c_delta[8 * h * B_t : 8 * (h + 1) * B_t, :]
+                        c_delta[8 * h * B_s : 8 * (h + 1) * B_s, :]
                         if c_delta is not None
                         else 0.0
                     )
                 )
         return ss_new
 
+    x = x_ref[:]  # (B_t, D)
+
     def one_pass(p, _):
-        # root error e = sum_n c_n(i_n) - x
-        def add_codebook(s, acc):
-            sol_s = sol_ref[pl.ds(s * B_t, B_t), :]
-            return acc + matmul(
-                onehot_bt(sol_s), centers_ref[pl.ds(s * cs, cs), :]
+        # Sub-tiles are processed with their codebook steps interleaved in
+        # one instruction stream; their chains are independent, so one
+        # sub-tile's MXU rescore overlaps the other's VPU selection.
+        sss = []
+        for sub in range(SUBT):
+            ctx = ctxs[sub]
+            EA_ref, _, _, chosenA, _, sol_ref = ctx
+            x_s = jax.lax.slice(x, (sub * B_s, 0), ((sub + 1) * B_s, D))
+
+            def add_codebook(s, acc, sol_ref=sol_ref):
+                sol_s = sol_ref[pl.ds(s * B_s, B_s), :]
+                return acc + matmul(
+                    onehot_bt(sol_s), centers_ref[pl.ds(s * cs, cs), :]
+                )
+
+            e = jax.lax.fori_loop(0, nc, add_codebook, -x_s)
+            # chosen parity: step 0 seeds A; odd steps gather A->B, even
+            # B->A; nc is even so the last (odd) step leaves state in B.
+            sss.append(
+                codebook_step(0, ctx, e, EA_ref, None, True, False,
+                              chosenA, chosenA)
             )
 
-        e = jax.lax.fori_loop(0, nc, add_codebook, -x)
+        def pair_step(i, sss):
+            out = list(sss)
+            for parity in (1, 2):  # codebooks 2i+1 (A->B), 2i+2 (B->A)
+                for sub in range(SUBT):
+                    ctx = ctxs[sub]
+                    EA_ref, EB_ref, _, chosenA, chosenB, _ = ctx
+                    if parity == 1:
+                        out[sub] = codebook_step(
+                            2 * i + 1, ctx, EA_ref, EB_ref, out[sub],
+                            False, False, chosenA, chosenB,
+                        )
+                    else:
+                        out[sub] = codebook_step(
+                            2 * i + 2, ctx, EB_ref, EA_ref, out[sub],
+                            False, False, chosenB, chosenA,
+                        )
+            return tuple(out)
 
-        # chosen parity: step 0 seeds A; odd steps gather A->B, even B->A;
-        # nc is even, so the last (odd) step always leaves the state in B.
-        ss = codebook_step(
-            0, e, EA_ref, None, True, False, chosen_ref, chosen_ref
-        )
-
-        def pair_step(i, ss):
-            ss = codebook_step(
-                2 * i + 1, EA_ref, EB_ref, ss, False, False,
-                chosen_ref, chosen2_ref,
-            )
-            ss = codebook_step(
-                2 * i + 2, EB_ref, EA_ref, ss, False, False,
-                chosen2_ref, chosen_ref,
-            )
-            return ss
-
+        sss = tuple(sss)
         if nc > 2:
-            ss = jax.lax.fori_loop(0, (nc - 2) // 2, pair_step, ss)
-        ss = codebook_step(
-            nc - 1, EA_ref, EB_ref, ss, False, True, chosen_ref, chosen2_ref
-        )
+            sss = jax.lax.fori_loop(0, (nc - 2) // 2, pair_step, sss)
+        sss = list(sss)
+        for sub in range(SUBT):
+            ctx = ctxs[sub]
+            EA_ref, EB_ref, _, chosenA, chosenB, _ = ctx
+            sss[sub] = codebook_step(
+                nc - 1, ctx, EA_ref, EB_ref, sss[sub], False, True,
+                chosenA, chosenB,
+            )
 
-        # ---- pass end: best candidate via block-wise packed min over the
-        # ss column (m ids in the low mantissa bits, like v1's lane packing)
+        # ---- pass end: best candidate per sub via block-wise packed min
+        # over the ss column (m ids in the low mantissa bits)
         m_ids = jnp.concatenate(
-            [jnp.full((B_t, 1), m, jnp.int32) for m in range(M)], axis=0
+            [jnp.full((B_s, 1), m, jnp.int32) for m in range(M)], axis=0
         )
-        enc_col = _encode_scores(ss, m_ids)  # (M*B_t, 1)
-        best_enc = enc_col[0:B_t, :]
-        for m in range(1, M):
-            best_enc = jnp.minimum(best_enc, enc_col[m * B_t : (m + 1) * B_t, :])
-        best = pltpu.bitcast(best_enc, jnp.int32) & _LANE_MASK  # (B_t, 1)
-        best_pad = pad_row(best.T)  # (1, CW)
-        idx_best = jnp.concatenate(
-            [jnp.broadcast_to(best_pad, (8, CW))] * nc, axis=1
-        )
-        ch_groups = [
-            chosen2_ref[g * 8 * nc : (g + 1) * 8 * nc, :].reshape(8, nc * CW)
-            for g in range(G)
-        ]
-        winner = _gather_rows_grouped(ch_groups, idx_best)  # (8, nc*CW)
-        winner_col = winner[0:1, :].T  # (nc*CW, 1)
-        for t in range(nc):
-            sol_ref[t * B_t : (t + 1) * B_t, :] = winner_col[
-                t * CW : t * CW + B_t, :
+        for sub in range(SUBT):
+            ctx = ctxs[sub]
+            _, _, _, _, chosenB, sol_ref = ctx
+            enc_col = _encode_scores(sss[sub], m_ids)  # (M*B_s, 1)
+            best_enc = enc_col[0:B_s, :]
+            for m in range(1, M):
+                best_enc = jnp.minimum(
+                    best_enc, enc_col[m * B_s : (m + 1) * B_s, :]
+                )
+            best = pltpu.bitcast(best_enc, jnp.int32) & _LANE_MASK  # (B_s, 1)
+            best_pad = pad_row(best.T)  # (1, CW)
+            idx_best = jnp.concatenate(
+                [jnp.broadcast_to(best_pad, (8, CW))] * nc, axis=1
+            )
+            ch_groups = [
+                chosenB[g * 8 * nc : (g + 1) * 8 * nc, :].reshape(8, nc * CW)
+                for g in range(G)
             ]
+            winner = _gather_rows_grouped(ch_groups, idx_best)  # (8, nc*CW)
+            winner_col = winner[0:1, :].T  # (nc*CW, 1)
+            for t in range(nc):
+                sol_ref[t * B_s : (t + 1) * B_s, :] = winner_col[
+                    t * CW : t * CW + B_s, :
+                ]
         return 0
 
     jax.lax.fori_loop(0, passes, one_pass, 0)
 
-    out_cols = [sol_ref[t * B_t : (t + 1) * B_t, :] for t in range(nc)]
-    out_ref[:, :] = jnp.concatenate(out_cols, axis=1)
+    for sub in range(SUBT):
+        sol_ref = ctxs[sub][5]
+        out_cols = [sol_ref[t * B_s : (t + 1) * B_s, :] for t in range(nc)]
+        out_ref[sub * B_s : (sub + 1) * B_s, :] = jnp.concatenate(
+            out_cols, axis=1
+        )
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "M", "R", "passes", "block_b", "interpret", "impl"),
+    static_argnames=(
+        "config", "M", "R", "passes", "block_b", "interpret", "impl",
+        "interleave",
+    ),
 )
 def seqbeam_encode_indexes(
     params: QuantizerParams,
@@ -773,11 +788,18 @@ def seqbeam_encode_indexes(
     interpret: bool = False,
     init_indexes: jax.Array | None = None,
     impl: str = "v2",
+    interleave: int = 1,
 ) -> jax.Array:
     """Encode (B, dim) frames to (B, nc) int32 indexes with the fused
     sequential-beam kernel.  Initialisation (logits argmax, or the caller's
     ``init_indexes``, e.g. from a coordinate-descent warm start) runs in
-    XLA.  ``impl``: "v2" (default, restructured bookkeeping) or "v1"."""
+    XLA.  ``impl``: "v2" (default, restructured bookkeeping) or "v1".
+    ``interleave``: number of independent sub-tiles whose steps are
+    interleaved in one instruction stream (v2 only; per-frame results are
+    independent of this knob).  Measured a wash on v5e — a toy probe showed
+    Mosaic hiding ~60% of a VPU chain under a concurrent MXU chain, but the
+    real kernel's chains see no benefit (run-to-run chip variance ~10%
+    dwarfs it) — kept for future schedulers."""
     assert SEQBEAM_SUPPORTED(config), config
     nc, cs, D = config.num_codebooks, config.codebook_size, config.dim
     B = x.shape[0]
@@ -803,18 +825,38 @@ def seqbeam_encode_indexes(
         nc * cs, cs
     ).astype(jnp.bfloat16)
 
-    scratch = [
-        pltpu.VMEM((M * block_b, D), jnp.float32),
-        pltpu.VMEM((M * block_b, D), jnp.float32),
-        pltpu.VMEM((M * block_b, cs), jnp.float32),
-        pltpu.VMEM((M * nc, max(128, block_b)), jnp.int32),
-        pltpu.VMEM((M * nc, max(128, block_b)), jnp.int32),
-        pltpu.VMEM((nc * block_b, 1), jnp.int32),
-    ]
-    kfn = _seqbeam_kernel_v2 if impl == "v2" else _seqbeam_kernel
-    kernel = functools.partial(
-        kfn, B_t=block_b, D=D, nc=nc, cs=cs, M=M, R=R, passes=passes
-    )
+    if impl == "v2":
+        SUBT = interleave if block_b % interleave == 0 else 1
+        B_s = block_b // SUBT
+        if B_s not in (64, 128, 256):
+            SUBT, B_s = 1, block_b
+        scratch = []
+        for _ in range(SUBT):
+            scratch += [
+                pltpu.VMEM((M * B_s, D), jnp.float32),
+                pltpu.VMEM((M * B_s, D), jnp.float32),
+                pltpu.VMEM((M * B_s, cs), jnp.float32),
+                pltpu.VMEM((M * nc, max(128, B_s)), jnp.int32),
+                pltpu.VMEM((M * nc, max(128, B_s)), jnp.int32),
+                pltpu.VMEM((nc * B_s, 1), jnp.int32),
+            ]
+        kernel = functools.partial(
+            _seqbeam_kernel_v2, B_t=block_b, D=D, nc=nc, cs=cs, M=M, R=R,
+            passes=passes, SUBT=SUBT,
+        )
+    else:
+        scratch = [
+            pltpu.VMEM((M * block_b, D), jnp.float32),
+            pltpu.VMEM((M * block_b, D), jnp.float32),
+            pltpu.VMEM((M * block_b, cs), jnp.float32),
+            pltpu.VMEM((M * nc, 128), jnp.int32),
+            pltpu.VMEM((M * nc, 128), jnp.int32),
+            pltpu.VMEM((nc * block_b, 1), jnp.int32),
+        ]
+        kernel = functools.partial(
+            _seqbeam_kernel, B_t=block_b, D=D, nc=nc, cs=cs, M=M, R=R,
+            passes=passes,
+        )
     in_specs = [
         pl.BlockSpec((block_b, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((block_b, nc), lambda i: (i, 0), memory_space=pltpu.VMEM),

@@ -249,3 +249,18 @@ class TestEncodeSearchMethodAPI:
         for c in (cb, cc):
             r = q.decode(c)
             assert float(jnp.mean((r - x) ** 2)) < float(jnp.mean(x ** 2))
+
+
+def test_interleave_is_semantics_neutral():
+    """The SUBT sub-tile interleave (scheduling knob) must not change any
+    output: per-frame search is independent of how the tile is split."""
+    from quantization_tpu.ops.seqbeam import seqbeam_encode_indexes
+
+    config = core.QuantizerConfig(dim=128, codebook_size=256, num_codebooks=4)
+    params = core.init_quantizer_params(jax.random.PRNGKey(9), config)
+    x = jax.random.normal(jax.random.PRNGKey(10), (128, 128))
+    o1 = seqbeam_encode_indexes(params, config, x, M=8, R=4, passes=2,
+                                interpret=True, interleave=1)
+    o2 = seqbeam_encode_indexes(params, config, x, M=8, R=4, passes=2,
+                                interpret=True, interleave=2)
+    assert (np.asarray(o1) == np.asarray(o2)).all()
