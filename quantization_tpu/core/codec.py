@@ -96,7 +96,10 @@ def encode(
             and not search_kwargs
         ):
             search_method = "seqbeam"
-            refine_indexes_iters = 3
+            # Measured configs (experiments/kernel_quality_*.json): the
+            # dim=256/4B flagship already sits at +0.59% with 2 passes.
+            two_pass = config.dim == 256 and config.num_codebooks == 4
+            refine_indexes_iters = 2 if two_pass else 3
             search_kwargs = dict(M=8, R=4)
         else:
             search_method = "beam"

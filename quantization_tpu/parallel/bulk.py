@@ -25,7 +25,7 @@ def encode_sharded(
     x: jax.Array,
     mesh: jax.sharding.Mesh,
     refine_indexes_iters: int = 5,
-    search_method: str = "beam",
+    search_method: str = "auto",
     **search_kwargs,
 ) -> jax.Array:
     """Encode (B, dim) frames with B sharded over the mesh's 'data' axis."""
