@@ -264,3 +264,20 @@ def test_interleave_is_semantics_neutral():
     o2 = seqbeam_encode_indexes(params, config, x, M=8, R=4, passes=2,
                                 interpret=True, interleave=2)
     assert (np.asarray(o1) == np.asarray(o2)).all()
+
+
+def test_kernel_nc16_interpret():
+    """The 16-codebook config (16 B/frame at cs=256) is inside
+    SEQBEAM_SUPPORTED; assert the kernel handles it and improves on the
+    argmax init."""
+    from quantization_tpu.ops.seqbeam import seqbeam_encode_indexes
+
+    config = core.QuantizerConfig(dim=128, codebook_size=256, num_codebooks=16)
+    params = core.init_quantizer_params(jax.random.PRNGKey(11), config)
+    x = jax.random.normal(jax.random.PRNGKey(12), (64, 128))
+    out = seqbeam_encode_indexes(params, config, x, M=8, R=4, passes=1,
+                                 interpret=True, block_b=64)
+    assert out.shape == (64, 16)
+    centers = core.scaled_centers(params, config.scale_speed)
+    i0 = search.compute_indexes(params, config, x, 0)
+    assert _err(centers, x, out).mean() <= _err(centers, x, i0).mean()
