@@ -87,3 +87,19 @@ def test_decode_kernel_matches_gather_path():
     assert a.shape == b.shape == (300, 128)
     scale = float(jnp.max(jnp.abs(b)))
     assert float(jnp.max(jnp.abs(a - b))) < 0.01 * scale
+
+
+def test_auto_search_falls_back_to_beam_off_tpu():
+    """On non-TPU backends (this suite runs on CPU) the "auto" search must
+    produce byte-identical output to the reference-parity beam."""
+    import jax
+    import numpy as np
+
+    from quantization_tpu import core
+
+    config = core.QuantizerConfig(dim=128, codebook_size=256, num_codebooks=4)
+    params = core.init_quantizer_params(jax.random.PRNGKey(3), config)
+    x = jax.random.normal(jax.random.PRNGKey(4), (64, 128))
+    a = core.encode(params, config, x, 5, search_method="auto")
+    b = core.encode(params, config, x, 5, search_method="beam")
+    assert (np.asarray(a) == np.asarray(b)).all()
