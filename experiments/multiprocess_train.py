@@ -11,7 +11,7 @@ tests/test_multiprocess.py, which spawns both).
 Usage (one invocation per process, plus one single-process reference):
     python experiments/multiprocess_train.py <outdir> <process_id> <nproc> \
         <coordinator_port> <steps>
-    python experiments/multiprocess_train.py <outdir> single 0 0 <steps>
+    python experiments/multiprocess_train.py <outdir> single <nproc> 0 <steps>
 
 Env (set by the caller): JAX_PLATFORMS=cpu,
 XLA_FLAGS=--xla_force_host_platform_device_count=<devices per process>.

@@ -73,6 +73,17 @@ def cmd_train(args) -> None:
     from .train.trainer import QuantizerTrainer
     from .utils.serialization import save_quantizer
 
+    if str(args.out).endswith((".pt", ".pth")):
+        # fail BEFORE training: the torch-format save would otherwise raise
+        # only after the full schedule, discarding the trained parameters
+        import importlib.util
+
+        if importlib.util.find_spec("torch") is None:
+            raise SystemExit(
+                f"--out {args.out}: saving in the torch checkpoint format "
+                "requires torch; install it or use a .npz output path"
+            )
+
     it = _iter_batches(args.data, args.batch, args.seed)
     kw = {}
     if args.init == "multi_kmeans":

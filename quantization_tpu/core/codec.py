@@ -93,15 +93,23 @@ def encode(
             SEQBEAM_SUPPORTED(config)
             and jax.default_backend() == "tpu"
             and refine_indexes_iters >= 3
-            and not search_kwargs
         ):
             search_method = "seqbeam"
             # Measured configs (experiments/kernel_quality_*.json): the
             # dim=256/4B flagship already sits at +0.59% with 2 passes.
             two_pass = config.dim == 256 and config.num_codebooks == 4
             refine_indexes_iters = 2 if two_pass else 3
-            search_kwargs = dict(M=8, R=4)
+            # explicit caller kwargs (M/R/block_b) override the tuned config
+            search_kwargs = {**dict(M=8, R=4), **search_kwargs}
         else:
+            if search_kwargs:
+                raise ValueError(
+                    "search kwargs "
+                    f"{sorted(search_kwargs)} require the seqbeam kernel "
+                    "(TPU backend, codebook_size=256, dim a multiple of "
+                    "128); pass search_method='seqbeam' explicitly or drop "
+                    "the kwargs"
+                )
             search_method = "beam"
     warm = re.fullmatch(r"cd(\d+)\+seqbeam", search_method)
     if search_method == "seqbeam" or warm:

@@ -184,19 +184,14 @@ def iter_hdf5_sequential(filename: str, batch_size: int) -> Iterator[np.ndarray]
     output row k must correspond to corpus frame k."""
     import h5py
 
-    buf = None
-    with h5py.File(filename, "r") as hf:
-        for key in hf.keys():
-            data = np.ascontiguousarray(hf[key][:])
-            data = data.reshape(-1, data.shape[-1])
-            if buf is not None and buf.shape[0]:
-                data = np.concatenate([buf, data])
-            n_full = (data.shape[0] // batch_size) * batch_size
-            for start in range(0, n_full, batch_size):
-                yield data[start : start + batch_size].astype(np.float32)
-            buf = data[n_full:]
-    if buf is not None and buf.shape[0]:
-        yield buf.astype(np.float32)
+    from .shards import rebatch
+
+    def datasets():
+        with h5py.File(filename, "r") as hf:
+            for key in hf.keys():
+                yield np.ascontiguousarray(hf[key][:])
+
+    yield from rebatch(datasets(), batch_size)
 
 
 def minibatch_iterator(

@@ -101,6 +101,26 @@ def convert_hdf5_to_shards(hdf5_path, outdir, frames_per_shard: int = 1 << 20):
     return write_shards(outdir, gen(), frames_per_shard)
 
 
+def rebatch(
+    arrays: Iterable[np.ndarray], batch_size: int, dtype=np.float32
+) -> Iterator[np.ndarray]:
+    """Re-chunk an order-preserving stream of (*, dim) arrays into
+    ``batch_size``-row batches (one final partial batch; no shuffling, no
+    duplication).  The single shared batching path for every sequential
+    reader (shards, HDF5, CLI)."""
+    buf = None
+    for data in arrays:
+        data = np.asarray(data).reshape(-1, np.asarray(data).shape[-1])
+        if buf is not None and buf.shape[0]:
+            data = np.concatenate([buf, data])
+        n_full = (data.shape[0] // batch_size) * batch_size
+        for start in range(0, n_full, batch_size):
+            yield data[start : start + batch_size].astype(dtype)
+        buf = data[n_full:]
+    if buf is not None and buf.shape[0]:
+        yield buf.astype(dtype)
+
+
 def iter_shards_sequential(
     shard_dir,
     batch_size: int,
@@ -117,18 +137,14 @@ def iter_shards_sequential(
         manifest = json.load(f)
     assert manifest["dtype"] == "float16", manifest
     dim = int(manifest["dim"])
-    buf = np.empty((0, dim), dtype=np.float16)
-    for entry in manifest["shards"][host_index::num_hosts]:
-        data = np.fromfile(shard_dir / entry["file"], dtype="<f2").reshape(-1, dim)
-        if buf.shape[0]:
-            data = np.concatenate([buf, data])
-            buf = buf[:0]
-        n_full = (data.shape[0] // batch_size) * batch_size
-        for start in range(0, n_full, batch_size):
-            yield data[start : start + batch_size].astype(np.float32)
-        buf = data[n_full:]
-    if buf.shape[0]:
-        yield buf.astype(np.float32)
+
+    def files():
+        for entry in manifest["shards"][host_index::num_hosts]:
+            yield np.fromfile(shard_dir / entry["file"], dtype="<f2").reshape(
+                -1, dim
+            )
+
+    yield from rebatch(files(), batch_size)
 
 
 def _build_native() -> Optional[ctypes.CDLL]:
@@ -201,6 +217,12 @@ class ShardStream:
         with open(shard_dir / "manifest.json") as f:
             manifest = json.load(f)
         assert manifest["dtype"] == "float16", manifest
+        if batch_size > pool_frames:
+            raise ValueError(
+                f"batch_size ({batch_size}) must not exceed pool_frames "
+                f"({pool_frames}): batches are drawn from the shuffle pool "
+                "without replacement"
+            )
         self.dim = int(manifest["dim"])
         self.batch_size = batch_size
         entries = manifest["shards"][host_index::num_hosts]

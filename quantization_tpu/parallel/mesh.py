@@ -37,7 +37,10 @@ def init_distributed(**kwargs) -> None:
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
-        if "already initialized" not in str(e).lower():
+        msg = str(e).lower()
+        # jax's double-init message is "distributed.initialize should only
+        # be called once."; older versions said "already initialized".
+        if "already initialized" not in msg and "only be called once" not in msg:
             raise
 
 

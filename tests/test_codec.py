@@ -103,3 +103,18 @@ def test_auto_search_falls_back_to_beam_off_tpu():
     a = core.encode(params, config, x, 5, search_method="auto")
     b = core.encode(params, config, x, 5, search_method="beam")
     assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_auto_with_kwargs_off_tpu_raises():
+    """search kwargs cannot silently vanish into the beam fallback: auto on
+    an unsupported backend/config with explicit M/R must raise."""
+    import jax
+    import pytest
+
+    from quantization_tpu import core
+
+    config = core.QuantizerConfig(dim=128, codebook_size=256, num_codebooks=4)
+    params = core.init_quantizer_params(jax.random.PRNGKey(3), config)
+    x = jax.random.normal(jax.random.PRNGKey(4), (32, 128))
+    with pytest.raises(ValueError, match="seqbeam"):
+        core.encode(params, config, x, 5, search_method="auto", M=32)

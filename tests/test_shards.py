@@ -111,3 +111,9 @@ def test_convert_hdf5_roundtrip(tmp_path):
     manifest = sh.convert_hdf5_to_shards(path, tmp_path / "out")
     assert manifest["dim"] == 16
     assert sum(s["frames"] for s in manifest["shards"]) == 300
+
+
+def test_batch_size_exceeding_pool_rejected(corpus):
+    d, manifest, arrays = corpus
+    with pytest.raises(ValueError, match="pool_frames"):
+        sh.ShardStream(d, batch_size=2048, pool_frames=1024, force_python=True)
