@@ -18,7 +18,7 @@ from .models.quantizer import Quantizer
 from .utils.checkpoint import checkpoint, remat
 from .utils.serialization import load_quantizer, save_quantizer
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "Quantizer",
