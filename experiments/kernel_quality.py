@@ -26,9 +26,29 @@ ref = rel_err(jax.jit(lambda x: search.compute_indexes(
     params, config, x, refine_indexes_iters=5, search="beam"))(x))
 print(f"beam5        {ref:.5f}", flush=True)
 results = {"beam5": ref}
-for (M, R, p) in ((8, 4, 3), (8, 2, 3), (16, 4, 2), (8, 4, 2)):
-    k = f"kernel M{M}R{R}p{p}"
-    e = rel_err(seqbeam_encode_indexes(params, config, x, M=M, R=R, passes=p))
+nc = config.num_codebooks
+EVEN = tuple(t % 2 == 0 for t in range(nc))
+ODD = tuple(t % 2 == 1 for t in range(nc))
+ALL = (True,) * nc
+MASKS = {
+    "": None,
+    "+altparity": (EVEN, ODD, EVEN),
+    "+eoall": (EVEN, ODD, ALL),
+}
+for (M, R, p, mk) in (
+    (8, 4, 3, ""),
+    (8, 4, 3, "+altparity"),
+    (8, 4, 3, "+eoall"),
+    (8, 2, 3, ""),
+    (16, 4, 2, ""),
+    (8, 4, 2, ""),
+):
+    mask = MASKS[mk]
+    if mask is not None and len(mask) != p:
+        continue
+    k = f"kernel M{M}R{R}p{p}{mk}"
+    e = rel_err(seqbeam_encode_indexes(params, config, x, M=M, R=R, passes=p,
+                                       pool_mask=mask))
     results[k] = e
-    print(f"{k:16s} {e:.5f} (+{100*(e/ref-1):.2f}%)", flush=True)
+    print(f"{k:26s} {e:.5f} (+{100*(e/ref-1):.2f}%)", flush=True)
 (HERE / f"kernel_quality_d{dim}_b{bpf}.json").write_text(json.dumps(results))

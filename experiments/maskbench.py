@@ -1,0 +1,66 @@
+"""Seqbeam pool_mask schedule micro-benchmark on the real chip.
+
+Usage: python experiments/maskbench.py [B] [dim] [nc] [schedule ...]
+Schedules: allpool, altparity, even, odd, r1, third, rotthird, pass12
+"""
+import sys, pathlib, time, json
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+import jax, jax.numpy as jnp, numpy as np
+from quantization_tpu import core
+from quantization_tpu.ops import seqbeam
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+dim = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+nc = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+cfg = core.QuantizerConfig(dim=dim, codebook_size=256, num_codebooks=nc)
+params = core.init_quantizer_params(jax.random.PRNGKey(0), cfg)
+mk = lambda i: jax.random.normal(jax.random.PRNGKey(100 + i), (B, dim))
+
+EVEN = tuple(t % 2 == 0 for t in range(nc))
+ODD = tuple(t % 2 == 1 for t in range(nc))
+ALL = (True,) * nc
+NONE = (False,) * nc
+TH = [tuple(t % 3 == k for t in range(nc)) for k in range(3)]
+
+SCHED = {
+    "allpool": None,
+    "altparity": (EVEN, ODD, EVEN),
+    "even": EVEN,
+    "odd": ODD,
+    "r1": NONE,
+    "third": TH[2],
+    "rotthird": (TH[0], TH[1], TH[2]),
+    "pass12": (NONE, ALL, ALL),
+}
+
+
+def fetch_time(fn, nbatch=8):
+    np.asarray(fn(mk(99)))  # compile
+    batches = [mk(i) for i in range(nbatch)]
+    jax.block_until_ready(batches)
+    t0 = time.perf_counter()
+    outs = [fn(b) for b in batches]
+    np.asarray(outs[-1])
+    return (time.perf_counter() - t0) / nbatch
+
+
+names = sys.argv[4:] or ["allpool", "altparity", "even", "r1"]
+results = {}
+for name in names:
+    # name syntax: sched[:block_b[:interleave]]
+    parts = name.split(":")
+    mask = SCHED[parts[0]]
+    bb = int(parts[1]) if len(parts) > 1 else 128
+    il = int(parts[2]) if len(parts) > 2 else 1
+    f = jax.jit(lambda x, m=mask, bb=bb, il=il: seqbeam.seqbeam_encode_indexes(
+        params, cfg, x, M=8, R=4, passes=3, pool_mask=m, block_b=bb,
+        interleave=il))
+    try:
+        t0 = time.perf_counter()
+        dt = fetch_time(f)
+        results[name] = dict(ms=round(dt * 1e3, 2), vec_s=round(B / dt, 1))
+        print(f"{name:12s} {dt*1e3:8.2f} ms  {B/dt/1e3:9.1f} K vec/s "
+              f"(compile+run {time.perf_counter()-t0:.0f}s)", flush=True)
+    except Exception as e:
+        print(f"{name}: FAILED {type(e).__name__}: {str(e)[:300]}", flush=True)
+print(json.dumps(results))

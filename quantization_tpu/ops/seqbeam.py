@@ -107,6 +107,10 @@ def _gather_rows_grouped(groups, idx: jax.Array) -> jax.Array:
     """Gather 8 output rows from a table split into 8-row groups (Mosaic's
     sublane dynamic_gather is strictly 8-row); idx values index the full
     table [0, 8*len(groups))."""
+    if len(groups) == 1:
+        # idx < 8 by construction (callers index an M<=8 beam): skip the
+        # clip — a full-width VPU pass over the index array
+        return _gather8(groups[0], idx)
     out = None
     for g, table in enumerate(groups):
         got = _gather8(table, jnp.clip(idx - 8 * g, 0, 7))
@@ -419,6 +423,7 @@ def _seqbeam_kernel_v2(
     R: int,
     passes: int,
     SUBT: int = 1,
+    pool_mask: tuple | None = None,
 ):
     """Restructured sequential-beam kernel (v2).
 
@@ -517,166 +522,270 @@ def _seqbeam_kernel_v2(
             outs.append((val, pos, emin))
         return outs
 
-    def codebook_step(t, ctx, src, dst_ref, ss_col, first, last, ch_src, ch_dst):
-        """One beam step on codebook t for one sub-tile.  ``ss_col`` is the
-        carried per-candidate ||E_m||^2 as an (M*B_s, 1) column (ignored
-        when ``first``); returns the updated column.  ``src`` is the root
-        error VALUE (B_s, D) when ``first``, else the E ping buffer ref."""
+    def codebook_step_phases(t, ctx, src, dst_ref, ss_col, first, last,
+                             ch_src, ch_dst, pool=True):
+        """One beam step on codebook t for one sub-tile, split into four
+        phases so the driver can ZIP phases across independent sub-tiles:
+
+          ph0 (MXU)  shared-row + rescore matmuls
+          ph1 (VPU)  score assembly, selection, chosen bookkeeping
+          ph2 (MXU)  extension one-hot-difference matmul
+          ph3 (VPU)  beam reorder + E write
+
+        With two sub-tiles emitted phase-zipped (A0 B3' A1 B0 A2 B1 A3 B2
+        ...), every MXU matmul is followed in program order by the OTHER
+        sub-tile's independent VPU work, so the in-order issue stream never
+        stalls on the matmul's consumer and the MXU runs concurrently with
+        the VPU (emitting a step's phases back-to-back leaves the MXU idle
+        during all VPU phases — measured as the SUBT=2 "wash" in round 2).
+
+        ``ss_col`` is the carried per-candidate ||E_m||^2 as an (M*B_s, 1)
+        column (ignored when ``first``); ph1 returns the updated column.
+        ``src`` is the root error VALUE (B_s, D) when ``first``, else the E
+        ping buffer ref.
+
+        ``pool=False`` runs the step in R1 mode: every parent keeps its own
+        best child (no cross-parent competition), so there is NO beam
+        reorder, NO chosen gather, and a single selection round — the
+        caller passes ``dst_ref is src`` and ``ch_dst is ch_src`` and the
+        step updates both in place.  R1-everywhere saturates at +1.26% vs
+        the reference beam-5 (outside the 1% bar); mixed schedules that
+        keep a fraction of pool steps recover the quality at a fraction of
+        the bookkeeping cost (experiments/pool_schedule_sweep.py)."""
         _, _, cross_ref, _, _, sol_ref = ctx
-        sol_t = sol_ref[pl.ds(t * B_s, B_s), :]  # (B_s, 1)
-        ctab = centers_ref[pl.ds(t * cs, cs), :]  # (cs, D) bf16
-        oh_cur = onehot_bt(sol_t)
-        # shared per-frame score row csq[j] - 2 c_t(i_t).c_t(j)
-        if "shared" in _SKIP and not first:
-            shared = jnp.zeros((B_s, cs), f32)
-            ccn = jnp.zeros((B_s, 1), f32)
-        else:
-            gmod_t = gmod_ref[pl.ds(t * cs, cs), :]  # (cs, cs) bf16
-            shared = matmul(oh_cur, gmod_t)  # (B_s, cs) f32
-            ccn = _gather_lane256(shared, sol_t)  # (B_s, 1) = -csq[i_t]
+        st = {}  # values handed between phases
 
-        if first:
-            # root-only rescore + M-way fan-out (all candidates identical)
-            e = src  # (B_s, D) value
-            cross0 = matmul_nt(e, ctab)  # (B_s, cs)
-            ss0 = jnp.sum(e * e, axis=1, keepdims=True)  # (B_s, 1)
-            Ec0 = _gather_lane256(cross0, sol_t)
-            S0 = (ss0 - 2.0 * Ec0 - ccn) + shared + 2.0 * cross0
-            picks = folded_rounds(S0, M)
-            v_cols = [v for v, _, _ in picks]
-            j_cols = [p for _, p, _ in picks]
-            parent = None
-        else:
-            # ---- rescore: cross[m*B_s+b, j] = E_m . c_t(j)  (MXU)
-            if "rescore" not in _SKIP:
+        def ph0_rescore():
+            sol_t = sol_ref[pl.ds(t * B_s, B_s), :]  # (B_s, 1)
+            ctab = centers_ref[pl.ds(t * cs, cs), :]  # (cs, D) bf16
+            oh_cur = onehot_bt(sol_t)
+            # shared per-frame score row csq[j] - 2 c_t(i_t).c_t(j)
+            if "shared" in _SKIP and not first:
+                shared = jnp.zeros((B_s, cs), f32)
+            else:
+                gmod_t = gmod_ref[pl.ds(t * cs, cs), :]  # (cs, cs) bf16
+                shared = matmul(oh_cur, gmod_t)  # (B_s, cs) f32
+            if first:
+                # root-only rescore (all candidates identical at the sweep
+                # start): 1/M of a full rescore
+                e = src  # (B_s, D) value
+                st["cross0"] = matmul_nt(e, ctab)  # (B_s, cs)
+                st["ss0"] = jnp.sum(e * e, axis=1, keepdims=True)
+            elif "rescore" not in _SKIP:
+                # cross[m*B_s+b, j] = E_m . c_t(j)
                 cross_ref[:, :] = matmul_nt(src[:, :], ctab)
-            if "assembly" in _SKIP:
-                S_full = cross_ref[:, :]
+            st.update(sol_t=sol_t, ctab=ctab, oh_cur=oh_cur, shared=shared)
+
+        def ph1_select():
+            sol_t, shared = st["sol_t"], st["shared"]
+            # NOTE ccn (= -csq[i_t], a per-frame constant) looks droppable
+            # since every comparison is within one frame — but dropping it
+            # accumulates Sigma csq[i_t] into the carried scores, inflating
+            # their magnitude far above the actual error scale on trained
+            # codebooks, and the packed-mantissa argmin's RELATIVE 2^-15
+            # truncation then swamps the between-candidate differences
+            # (measured +17% rel err).  It must stay.
+            if "shared" in _SKIP and not first:
+                ccn = jnp.zeros((B_s, 1), f32)
             else:
-                sol_stack = jnp.concatenate([sol_t] * M, axis=0)  # (M*B_s, 1)
-                Ec = _gather_lane256(cross_ref[:, :], sol_stack)
-                ccn_stack = jnp.concatenate([ccn] * M, axis=0)
-                shared_stack = jnp.concatenate([shared] * M, axis=0)
-                S_full = (
-                    (ss_col - 2.0 * Ec - ccn_stack)
-                    + shared_stack
-                    + 2.0 * cross_ref[:, :]
-                )
-            if "sel" in _SKIP:
-                v_cols = [jnp.zeros((B_s, 1), f32)] * M
-                j_cols = [sol_t] * M
-                parent = jnp.zeros((B_s, M), jnp.int32)
+                ccn = _gather_lane256(shared, sol_t)  # (B_s, 1) = -csq[i_t]
+            if first:
+                # M-way fan-out from the single root candidate
+                Ec0 = _gather_lane256(st["cross0"], sol_t)
+                S0 = (st["ss0"] - 2.0 * Ec0 - ccn) + shared + 2.0 * st["cross0"]
+                picks = folded_rounds(S0, M)
+                v_cols = [v for v, _, _ in picks]
+                j_cols = [p for _, p, _ in picks]
+                parent = None
             else:
-                # ---- selection: top-R per parent, then top-M of the pool.
-                # Pool entries carry (parent m, index j) INSIDE the packed
-                # value: j in the low 8 mantissa bits (from the per-row
-                # rounds), m overlaid on the next log2(M) bits.  Each round
-                # is min + one equality mask + bit extraction; (m, j) pairs
-                # are unique, so the equality mask hits exactly once.
-                picks = folded_rounds(S_full, R)
-                vRe = jnp.concatenate([e_ for _, _, e_ in picks], axis=1)
-                pool0 = jnp.concatenate(
-                    [vRe[m * B_s : (m + 1) * B_s, :] for m in range(M)], axis=1
-                )  # (B_s, M*R) packed scores, j in low bits
-                mbits = (M - 1) << _LANE_BITS
-                mconst = (lane_pool // R) << _LANE_BITS
-                penc = pltpu.bitcast(
-                    (pltpu.bitcast(pool0, jnp.int32) & ~mbits) | mconst,
-                    jnp.float32,
-                )
-                v_cols, j_cols, p_cols = [], [], []
-                for _ in range(M):
-                    emin = jnp.min(penc, axis=1, keepdims=True)
-                    penc = jnp.where(penc == emin, _INF, penc)
-                    bits = pltpu.bitcast(emin, jnp.int32)
-                    j_cols.append(bits & _LANE_MASK)
-                    p_cols.append((bits >> _LANE_BITS) & (M - 1))
-                    v_cols.append(
-                        pltpu.bitcast(bits & ~(mbits | _LANE_MASK), jnp.float32)
-                    )
-                parent = jnp.concatenate(p_cols, axis=1)  # (B_s, M)
-
-        ss_new = jnp.concatenate(v_cols, axis=0)  # (M*B_s, 1)
-        j_col = jnp.concatenate(j_cols, axis=0)  # (M*B_s, 1)
-        j = jnp.concatenate(j_cols, axis=1)  # (B_s, M)
-        j_pad = pad_row(j.T)  # (M, CW)
-        parent_T = None if first else parent.T  # (M, B_s)
-
-        # ---- chosen bookkeeping (ping-pong by step parity, no copy back)
-        if "chosen" in _SKIP:
-            pass
-        elif first:
-            # seed all candidates from the root solution, overwrite row t
-            _, _, _, _, _, sol_ref_ = ctx
-            for s in range(nc):
-                sol_row = pad_row(sol_ref_[pl.ds(s * B_s, B_s), :].T)  # (1, CW)
-                for m in range(M):
-                    ch_dst[pl.ds(m * nc + s, 1), :] = sol_row
-            for m in range(M):
-                ch_dst[pl.ds(m * nc + t, 1), :] = j_pad[m : m + 1]
-        else:
-            parent_pad = pad_row(parent_T)  # (M, CW)
-            idx_ch = jnp.concatenate([parent_pad] * nc, axis=1)  # (M, nc*CW)
-            ch_groups = [
-                ch_src[g * 8 * nc : (g + 1) * 8 * nc, :].reshape(8, nc * CW)
-                for g in range(G)
-            ]
-            for g in range(G):
-                ch_dst[g * 8 * nc : (g + 1) * 8 * nc, :] = (
-                    _gather_rows_grouped(
-                        ch_groups, idx_ch[8 * g : 8 * (g + 1)]
-                    ).reshape(8 * nc, CW)
-                )
-            for m in range(M):
-                ch_dst[pl.ds(m * nc + t, 1), :] = j_pad[m : m + 1]
-
-        if last:
-            return ss_new  # scores + chosen are all the pass end needs
-
-        # ---- E extension (+ reorder when not first)
-        if "ext" in _SKIP:
-            c_delta = None
-        else:
-            oh_diff = (lane_full == j_col).astype(bf16) - jnp.concatenate(
-                [oh_cur] * M, axis=0
-            )
-            c_delta = matmul(oh_diff, ctab)  # (M*B_s, D)
-        if first:
-            if c_delta is not None:
-                e_stack = jnp.concatenate([src] * M, axis=0)  # (M*B_s, D)
-                dst_ref[:, :] = e_stack + c_delta
-        else:
-            e_groups = [
-                src[g * 8 * B_s : (g + 1) * 8 * B_s, :].reshape(8, B_s * D)
-                for g in range(G)
-            ]
-
-            def idx_for_half(h):
-                ph = jax.lax.slice(parent_T, (8 * h, 0), (8 * (h + 1), B_s))
-                return jnp.broadcast_to(ph[:, :, None], (8, B_s, D)).reshape(
-                    8, B_s * D
-                )
-
-            for h in range(G):
-                if "reorder" in _SKIP:
-                    picked = src[8 * h * B_s : 8 * (h + 1) * B_s, :]
+                if "assembly" in _SKIP:
+                    S_full = cross_ref[:, :]
                 else:
-                    picked = _gather_rows_grouped(
-                        e_groups, idx_for_half(h)
-                    ).reshape(8 * B_s, D)
-                dst_ref[8 * h * B_s : 8 * (h + 1) * B_s, :] = (
-                    picked
-                    + (
-                        c_delta[8 * h * B_s : 8 * (h + 1) * B_s, :]
-                        if c_delta is not None
-                        else 0.0
+                    sol_stack = jnp.concatenate([sol_t] * M, axis=0)
+                    Ec = _gather_lane256(cross_ref[:, :], sol_stack)
+                    ccn_stack = jnp.concatenate([ccn] * M, axis=0)
+                    shared_stack = jnp.concatenate([shared] * M, axis=0)
+                    S_full = (
+                        (ss_col - 2.0 * Ec - ccn_stack)
+                        + shared_stack
+                        + 2.0 * cross_ref[:, :]
                     )
+                if "sel" in _SKIP:
+                    v_cols = [jnp.zeros((B_s, 1), f32)] * M
+                    j_cols = [sol_t] * M
+                    parent = jnp.zeros((B_s, M), jnp.int32)
+                elif not pool:
+                    # ---- R1: best child per parent, slot order kept.
+                    val, pos, _ = folded_rounds(S_full, 1)[0]  # (M*B_s, 1)
+                    v_cols = [val]  # already the full (M*B_s, 1) column
+                    j_cols = [pos]
+                    parent = None
+                else:
+                    # ---- selection: top-R per parent, then top-M of the
+                    # pool.  Pool entries carry (parent m, index j) INSIDE
+                    # the packed value: j in the low 8 mantissa bits (from
+                    # the per-row rounds), m overlaid on the next log2(M)
+                    # bits.  Each round is min + one equality mask + bit
+                    # extraction; (m, j) pairs are unique, so the equality
+                    # mask hits exactly once.
+                    picks = folded_rounds(S_full, R)
+                    vRe = jnp.concatenate([e_ for _, _, e_ in picks], axis=1)
+                    pool0 = jnp.concatenate(
+                        [vRe[m * B_s : (m + 1) * B_s, :] for m in range(M)],
+                        axis=1,
+                    )  # (B_s, M*R) packed scores, j in low bits
+                    mbits = (M - 1) << _LANE_BITS
+                    mconst = (lane_pool // R) << _LANE_BITS
+                    penc = pltpu.bitcast(
+                        (pltpu.bitcast(pool0, jnp.int32) & ~mbits) | mconst,
+                        jnp.float32,
+                    )
+                    v_cols, j_cols, p_cols = [], [], []
+                    for _ in range(M):
+                        emin = jnp.min(penc, axis=1, keepdims=True)
+                        penc = jnp.where(penc == emin, _INF, penc)
+                        bits = pltpu.bitcast(emin, jnp.int32)
+                        j_cols.append(bits & _LANE_MASK)
+                        p_cols.append((bits >> _LANE_BITS) & (M - 1))
+                        v_cols.append(
+                            pltpu.bitcast(
+                                bits & ~(mbits | _LANE_MASK), jnp.float32
+                            )
+                        )
+                    parent = jnp.concatenate(p_cols, axis=1)  # (B_s, M)
+
+            ss_new = jnp.concatenate(v_cols, axis=0)  # (M*B_s, 1)
+            j_col = jnp.concatenate(j_cols, axis=0)  # (M*B_s, 1)
+            if len(j_cols) == 1:  # R1: de-stack (M*B_s, 1) to (B_s, M)
+                j = jnp.concatenate(
+                    [
+                        jax.lax.slice(j_col, (m * B_s, 0), ((m + 1) * B_s, 1))
+                        for m in range(M)
+                    ],
+                    axis=1,
                 )
-        return ss_new
+            else:
+                j = jnp.concatenate(j_cols, axis=1)  # (B_s, M)
+            j_pad = pad_row(j.T)  # (M, CW)
+            parent_T = (
+                None if (first or parent is None) else parent.T
+            )  # (M, B_s)
+
+            # ---- chosen bookkeeping (ping-pong by step parity, no copy)
+            if "chosen" in _SKIP:
+                pass
+            elif first:
+                # seed all candidates from the root solution, overwrite row t
+                for s in range(nc):
+                    sol_row = pad_row(
+                        sol_ref[pl.ds(s * B_s, B_s), :].T
+                    )  # (1, CW)
+                    for m in range(M):
+                        ch_dst[pl.ds(m * nc + s, 1), :] = sol_row
+                for m in range(M):
+                    ch_dst[pl.ds(m * nc + t, 1), :] = j_pad[m : m + 1]
+            elif not pool:
+                # R1: children stay in their parent's slot — overwrite row
+                # t only (ch_dst is ch_src).
+                for m in range(M):
+                    ch_dst[pl.ds(m * nc + t, 1), :] = j_pad[m : m + 1]
+            else:
+                parent_pad = pad_row(parent_T)  # (M, CW)
+                idx_ch = jnp.concatenate([parent_pad] * nc, axis=1)
+                ch_groups = [
+                    ch_src[g * 8 * nc : (g + 1) * 8 * nc, :].reshape(
+                        8, nc * CW
+                    )
+                    for g in range(G)
+                ]
+                for g in range(G):
+                    ch_dst[g * 8 * nc : (g + 1) * 8 * nc, :] = (
+                        _gather_rows_grouped(
+                            ch_groups, idx_ch[8 * g : 8 * (g + 1)]
+                        ).reshape(8 * nc, CW)
+                    )
+                for m in range(M):
+                    ch_dst[pl.ds(m * nc + t, 1), :] = j_pad[m : m + 1]
+            st.update(j_col=j_col, parent_T=parent_T)
+            return ss_new
+
+        def ph2_ext():
+            if last:
+                return
+            if "ext" in _SKIP:
+                st["c_delta"] = None
+                return
+            oh_diff = (lane_full == st["j_col"]).astype(bf16) - jnp.concatenate(
+                [st["oh_cur"]] * M, axis=0
+            )
+            st["c_delta"] = matmul(oh_diff, st["ctab"])  # (M*B_s, D)
+
+        def ph3_move():
+            if last:
+                return
+            c_delta = st["c_delta"]
+            if first:
+                if c_delta is not None:
+                    e_stack = jnp.concatenate([src] * M, axis=0)  # (M*B_s, D)
+                    dst_ref[:, :] = e_stack + c_delta
+            elif not pool:
+                # R1: no reorder — in-place extension (dst_ref is src).
+                if c_delta is not None:
+                    dst_ref[:, :] = src[:, :] + c_delta
+            else:
+                e_groups = [
+                    src[g * 8 * B_s : (g + 1) * 8 * B_s, :].reshape(
+                        8, B_s * D
+                    )
+                    for g in range(G)
+                ]
+                parent_T = st["parent_T"]
+
+                def idx_for_half(h):
+                    ph = jax.lax.slice(parent_T, (8 * h, 0), (8 * (h + 1), B_s))
+                    return jnp.broadcast_to(
+                        ph[:, :, None], (8, B_s, D)
+                    ).reshape(8, B_s * D)
+
+                for h in range(G):
+                    if "reorder" in _SKIP:
+                        picked = src[8 * h * B_s : 8 * (h + 1) * B_s, :]
+                    else:
+                        picked = _gather_rows_grouped(
+                            e_groups, idx_for_half(h)
+                        ).reshape(8 * B_s, D)
+                    dst_ref[8 * h * B_s : 8 * (h + 1) * B_s, :] = (
+                        picked
+                        + (
+                            c_delta[8 * h * B_s : 8 * (h + 1) * B_s, :]
+                            if c_delta is not None
+                            else 0.0
+                        )
+                    )
+
+        return [ph0_rescore, ph1_select, ph2_ext, ph3_move]
+
+    def run_zipped(step_args):
+        """Run one step for each sub-tile with phases zipped across
+        sub-tiles; returns the per-sub ss columns."""
+        phase_lists = [codebook_step_phases(*a) for a in step_args]
+        out = [None] * len(phase_lists)
+        for i in range(4):
+            for s, phases in enumerate(phase_lists):
+                r = phases[i]()
+                if i == 1:
+                    out[s] = r
+        return out
+
+    def codebook_step(t, ctx, src, dst_ref, ss_col, first, last, ch_src,
+                      ch_dst, pool=True):
+        return run_zipped(
+            [(t, ctx, src, dst_ref, ss_col, first, last, ch_src, ch_dst, pool)]
+        )[0]
 
     x = x_ref[:]  # (B_t, D)
 
-    def one_pass(p, _):
+    def one_pass_with(mask):
         # Sub-tiles are processed with their codebook steps interleaved in
         # one instruction stream; their chains are independent, so one
         # sub-tile's MXU rescore overlaps the other's VPU selection.
@@ -700,35 +809,61 @@ def _seqbeam_kernel_v2(
                               chosenA, chosenA)
             )
 
-        def pair_step(i, sss):
-            out = list(sss)
-            for parity in (1, 2):  # codebooks 2i+1 (A->B), 2i+2 (B->A)
-                for sub in range(SUBT):
-                    ctx = ctxs[sub]
-                    EA_ref, EB_ref, _, chosenA, chosenB, _ = ctx
+        if mask is None:
+            def pair_step(i, sss):
+                out = list(sss)
+                for parity in (1, 2):  # codebooks 2i+1 (A->B), 2i+2 (B->A)
                     if parity == 1:
-                        out[sub] = codebook_step(
-                            2 * i + 1, ctx, EA_ref, EB_ref, out[sub],
-                            False, False, chosenA, chosenB,
-                        )
+                        out = run_zipped([
+                            (2 * i + 1, ctxs[s], ctxs[s][0], ctxs[s][1],
+                             out[s], False, False, ctxs[s][3], ctxs[s][4],
+                             True)
+                            for s in range(SUBT)
+                        ])
                     else:
-                        out[sub] = codebook_step(
-                            2 * i + 2, ctx, EB_ref, EA_ref, out[sub],
-                            False, False, chosenB, chosenA,
-                        )
-            return tuple(out)
+                        out = run_zipped([
+                            (2 * i + 2, ctxs[s], ctxs[s][1], ctxs[s][0],
+                             out[s], False, False, ctxs[s][4], ctxs[s][3],
+                             True)
+                            for s in range(SUBT)
+                        ])
+                return tuple(out)
 
-        sss = tuple(sss)
-        if nc > 2:
-            sss = jax.lax.fori_loop(0, (nc - 2) // 2, pair_step, sss)
-        sss = list(sss)
-        for sub in range(SUBT):
-            ctx = ctxs[sub]
-            EA_ref, EB_ref, _, chosenA, chosenB, _ = ctx
-            sss[sub] = codebook_step(
-                nc - 1, ctx, EA_ref, EB_ref, sss[sub], False, True,
-                chosenA, chosenB,
-            )
+            sss = tuple(sss)
+            if nc > 2:
+                sss = jax.lax.fori_loop(0, (nc - 2) // 2, pair_step, sss)
+            sss = list(sss)
+            sss = run_zipped([
+                (nc - 1, ctxs[s], ctxs[s][0], ctxs[s][1], sss[s],
+                 False, True, ctxs[s][3], ctxs[s][4], True)
+                for s in range(SUBT)
+            ])
+            ch_fin = 4  # chosenB: nc even -> odd number of gather steps
+        else:
+            # ---- static per-codebook schedule: the codebook loop is
+            # UNROLLED (Python loop) so each step's kind (pool vs R1) and
+            # the resulting buffer parity are compile-time constants.  Pool
+            # steps ping-pong E/chosen; R1 steps update them in place.
+            e_cur, e_alt = 0, 1  # ctx slot indexes: EA_ref, EB_ref
+            ch_cur, ch_alt = 3, 4  # chosenA, chosenB (step 0 seeded A)
+            for t in range(1, nc):
+                pool = bool(mask[t])
+                last = t == nc - 1
+                if pool:
+                    sss = run_zipped([
+                        (t, ctxs[s], ctxs[s][e_cur], ctxs[s][e_alt], sss[s],
+                         False, last, ctxs[s][ch_cur], ctxs[s][ch_alt], True)
+                        for s in range(SUBT)
+                    ])
+                    e_cur, e_alt = e_alt, e_cur
+                    ch_cur, ch_alt = ch_alt, ch_cur
+                else:
+                    sss = run_zipped([
+                        (t, ctxs[s], ctxs[s][e_cur], ctxs[s][e_cur], sss[s],
+                         False, last, ctxs[s][ch_cur], ctxs[s][ch_cur], False)
+                        for s in range(SUBT)
+                    ])
+            ch_fin = ch_cur
 
         # ---- pass end: best candidate per sub via block-wise packed min
         # over the ss column (m ids in the low mantissa bits)
@@ -737,7 +872,7 @@ def _seqbeam_kernel_v2(
         )
         for sub in range(SUBT):
             ctx = ctxs[sub]
-            _, _, _, _, chosenB, sol_ref = ctx
+            chosen_fin, sol_ref = ctx[ch_fin], ctx[5]
             enc_col = _encode_scores(sss[sub], m_ids)  # (M*B_s, 1)
             best_enc = enc_col[0:B_s, :]
             for m in range(1, M):
@@ -750,7 +885,7 @@ def _seqbeam_kernel_v2(
                 [jnp.broadcast_to(best_pad, (8, CW))] * nc, axis=1
             )
             ch_groups = [
-                chosenB[g * 8 * nc : (g + 1) * 8 * nc, :].reshape(8, nc * CW)
+                chosen_fin[g * 8 * nc : (g + 1) * 8 * nc, :].reshape(8, nc * CW)
                 for g in range(G)
             ]
             winner = _gather_rows_grouped(ch_groups, idx_best)  # (8, nc*CW)
@@ -761,7 +896,17 @@ def _seqbeam_kernel_v2(
                 ]
         return 0
 
-    jax.lax.fori_loop(0, passes, one_pass, 0)
+    if pool_mask is not None and isinstance(pool_mask[0], tuple):
+        # per-pass schedules: the pass loop is unrolled so each pass gets
+        # its own static mask (e.g. the "alt-parity" schedule pools even
+        # codebooks in passes 0/2 and odd codebooks in pass 1)
+        assert len(pool_mask) == passes, (pool_mask, passes)
+        for p_mask in pool_mask:
+            one_pass_with(p_mask)
+    else:
+        jax.lax.fori_loop(
+            0, passes, lambda p, _: one_pass_with(pool_mask), 0
+        )
 
     for sub in range(SUBT):
         sol_ref = ctxs[sub][5]
@@ -774,7 +919,7 @@ def _seqbeam_kernel_v2(
     jax.jit,
     static_argnames=(
         "config", "M", "R", "passes", "block_b", "interpret", "impl",
-        "interleave",
+        "interleave", "pool_mask",
     ),
 )
 def seqbeam_encode_indexes(
@@ -789,6 +934,7 @@ def seqbeam_encode_indexes(
     init_indexes: jax.Array | None = None,
     impl: str = "v2",
     interleave: int = 1,
+    pool_mask: tuple | None = None,
 ) -> jax.Array:
     """Encode (B, dim) frames to (B, nc) int32 indexes with the fused
     sequential-beam kernel.  Initialisation (logits argmax, or the caller's
@@ -799,8 +945,40 @@ def seqbeam_encode_indexes(
     independent of this knob).  Measured a wash on v5e — a toy probe showed
     Mosaic hiding ~60% of a VPU chain under a concurrent MXU chain, but the
     real kernel's chains see no benefit (run-to-run chip variance ~10%
-    dwarfs it) — kept for future schedulers."""
+    dwarfs it) — kept for future schedulers.
+
+    ``pool_mask`` (v2 only): per-codebook tuple of bools selecting the
+    step kind each pass — True = full pool step (top-R per parent + top-M
+    of the pool, beam reorder), False = R1 step (best child per parent, no
+    reorder/chosen-gather, single selection round — ~half the cost).  The
+    entry for codebook 0 is ignored (step 0 is always the beam fan-out).
+    None = all-pool (the fori-loop code path, identical selection
+    semantics).  See experiments/pool_schedule_sweep.py for the measured
+    quality of mixed schedules."""
     assert SEQBEAM_SUPPORTED(config), config
+    if pool_mask is not None:
+        assert impl == "v2", "pool_mask requires impl='v2'"
+        if isinstance(pool_mask, str):
+            nc_ = config.num_codebooks
+            if pool_mask == "altparity":
+                # pool even codebooks on even passes, odd codebooks on odd
+                # passes: half the pool steps, measured +0.96% vs beam-5 at
+                # M8R4p3 on the dim=512/8B flagship
+                # (experiments/pool_schedule2_d512_b8.json)
+                even = tuple(t % 2 == 0 for t in range(nc_))
+                odd = tuple(t % 2 == 1 for t in range(nc_))
+                pool_mask = tuple(
+                    even if p % 2 == 0 else odd for p in range(passes)
+                )
+            else:
+                raise ValueError(f"unknown pool_mask schedule {pool_mask!r}")
+        if isinstance(pool_mask[0], (tuple, list)):  # per-pass schedules
+            pool_mask = tuple(tuple(bool(b) for b in m) for m in pool_mask)
+            assert len(pool_mask) == passes, (pool_mask, passes)
+            assert all(len(m) == config.num_codebooks for m in pool_mask)
+        else:
+            pool_mask = tuple(bool(b) for b in pool_mask)
+            assert len(pool_mask) == config.num_codebooks, (pool_mask, config)
     nc, cs, D = config.num_codebooks, config.codebook_size, config.dim
     B = x.shape[0]
     B_pad = -(-B // block_b) * block_b
@@ -842,7 +1020,7 @@ def seqbeam_encode_indexes(
             ]
         kernel = functools.partial(
             _seqbeam_kernel_v2, B_t=block_b, D=D, nc=nc, cs=cs, M=M, R=R,
-            passes=passes, SUBT=SUBT,
+            passes=passes, SUBT=SUBT, pool_mask=pool_mask,
         )
     else:
         scratch = [

@@ -266,6 +266,33 @@ def test_interleave_is_semantics_neutral():
     assert (np.asarray(o1) == np.asarray(o2)).all()
 
 
+def test_pool_mask_schedules():
+    """pool_mask contracts: an all-pool mask is bit-identical to the
+    default (fori) path; the "altparity" string resolves to the per-pass
+    even/odd schedule; R1-heavy schedules still improve on the init."""
+    from quantization_tpu.ops.seqbeam import seqbeam_encode_indexes
+
+    config = core.QuantizerConfig(dim=128, codebook_size=256, num_codebooks=4)
+    params = core.init_quantizer_params(jax.random.PRNGKey(13), config)
+    x = jax.random.normal(jax.random.PRNGKey(14), (64, 128))
+    kw = dict(M=8, R=4, passes=2, interpret=True, block_b=64)
+    o_def = seqbeam_encode_indexes(params, config, x, **kw)
+    o_all = seqbeam_encode_indexes(params, config, x, pool_mask=(True,) * 4, **kw)
+    assert (np.asarray(o_def) == np.asarray(o_all)).all()
+
+    even = (True, False, True, False)
+    odd = (False, True, False, True)
+    o_str = seqbeam_encode_indexes(params, config, x, pool_mask="altparity", **kw)
+    o_tup = seqbeam_encode_indexes(params, config, x, pool_mask=(even, odd), **kw)
+    assert (np.asarray(o_str) == np.asarray(o_tup)).all()
+
+    centers = core.scaled_centers(params, config.scale_speed)
+    i0 = search.compute_indexes(params, config, x, 0)
+    for mask in ((False,) * 4, (even, odd)):
+        out = seqbeam_encode_indexes(params, config, x, pool_mask=mask, **kw)
+        assert _err(centers, x, out).mean() <= _err(centers, x, i0).mean()
+
+
 def test_kernel_nc16_interpret():
     """The 16-codebook config (16 B/frame at cs=256) is inside
     SEQBEAM_SUPPORTED; assert the kernel handles it and improves on the
