@@ -36,13 +36,17 @@ DIM = 512
 NUM_CODEBOOKS = 8
 CODEBOOK_SIZE = 256
 # Headline search config: fused seqbeam kernel, beam width M=8, per-parent
-# top-R=4, 3 passes — measured +0.89% relative reconstruction error vs the
-# reference beam-5 on the trained flagship (inside the 1% parity bar;
+# top-R=4, 3 passes, "altparity" pool/R1 step schedule (pool selection on
+# even codebooks in even passes / odd in odd — half the steps run in R1
+# mode with no beam reorder), phase-zipped 2-way sub-tile interleave —
+# measured +0.96% relative reconstruction error vs the reference beam-5 on
+# the trained flagship (inside the 1% parity bar;
 # experiments/kernel_quality_d512_b8.json), no warm start needed
 # (experiments/quality_sweep_d512.log: cd0 == cd1 == cd2 at equal beam work).
 SEQBEAM_M = 8
 SEQBEAM_R = 4
 SEQBEAM_PASSES = 3
+SEQBEAM_KW = dict(pool_mask="altparity", block_b=256, interleave=2)
 BATCH = 1 << 15
 NBATCH = 8
 NORTH_STAR_PER_CHIP = 100e6 / 8.0  # v5p host target, pro-rated per chip
@@ -95,7 +99,8 @@ def main() -> None:
             )
         )
 
-    enc = make_enc("seqbeam", SEQBEAM_PASSES, M=SEQBEAM_M, R=SEQBEAM_R)
+    enc = make_enc("seqbeam", SEQBEAM_PASSES, M=SEQBEAM_M, R=SEQBEAM_R,
+                   **SEQBEAM_KW)
 
     xs = [
         jax.device_put(
@@ -126,7 +131,8 @@ def main() -> None:
                 time.sleep(30)
         return False
 
-    active = f"seqbeam M{SEQBEAM_M} R{SEQBEAM_R} x{SEQBEAM_PASSES}"
+    active = (f"seqbeam M{SEQBEAM_M} R{SEQBEAM_R} x{SEQBEAM_PASSES} "
+              f"{SEQBEAM_KW['pool_mask']} il{SEQBEAM_KW['interleave']}")
     if not warmup(enc):
         # Mosaic kernel unavailable on this toolchain: fall back to the
         # pure-XLA reference-parity beam so a number is always produced.

@@ -83,9 +83,11 @@ def encode(
     x2 = x.reshape(-1, config.dim)
     if search_method == "auto":
         # Fastest config measured within the 1% quality bar on TPU: the
-        # fused seqbeam kernel at M=8, R=4, 3 passes (+0.89% rel err vs
-        # beam-5 on the trained flagship, experiments/kernel_quality_*.json,
-        # ~2x the beam's throughput).  Falls back to the reference-parity
+        # fused seqbeam kernel at M=8, R=4, 3 passes with the "altparity"
+        # pool/R1 step schedule and phase-zipped sub-tile interleave
+        # (+0.96% rel err vs beam-5 on the trained flagship,
+        # experiments/kernel_quality_d512_b8.json; ~30% faster than the
+        # all-pool kernel config).  Falls back to the reference-parity
         # beam off-TPU or for unsupported shapes.
         from ..ops.seqbeam import SEQBEAM_SUPPORTED
 
@@ -96,11 +98,17 @@ def encode(
         ):
             search_method = "seqbeam"
             # Measured configs (experiments/kernel_quality_*.json): the
-            # dim=256/4B flagship already sits at +0.59% with 2 passes.
+            # dim=256/4B flagship already sits at +0.70% with 2 passes +
+            # altparity.
             two_pass = config.dim == 256 and config.num_codebooks == 4
             refine_indexes_iters = 2 if two_pass else 3
-            # explicit caller kwargs (M/R/block_b) override the tuned config
-            search_kwargs = {**dict(M=8, R=4), **search_kwargs}
+            # explicit caller kwargs (M/R/block_b/pool_mask/interleave)
+            # override the tuned config
+            search_kwargs = {
+                **dict(M=8, R=4, pool_mask="altparity", block_b=256,
+                       interleave=2),
+                **search_kwargs,
+            }
         else:
             if search_kwargs:
                 raise ValueError(
