@@ -10,9 +10,12 @@ two different parents in one step.
 
 Usage: python experiments/colfold_sweep.py [dim] [bpf]
 """
-import sys, pathlib, json
+import os, sys, pathlib, json
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
-import jax, jax.numpy as jnp
+import jax
+if os.environ.get("QTPU_FORCE_CPU"):  # sitecustomize pins JAX_PLATFORMS=axon
+    jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
 from quantization_tpu import core
 from quantization_tpu.core import search, codec
 from quantization_tpu.data.synthetic import make_mlp_sampler
@@ -68,6 +71,22 @@ def seqbeam_pass(x, indexes, M, R, step_kinds):
             best_score = jnp.min(S, axis=1)  # (B, cs)
             _, j = jax.lax.approx_min_k(best_score, M, recall_target=1.0)
             parent = jnp.take_along_axis(best_parent, j, axis=1)
+        elif kind == "colfold2":
+            # top-2 parents per codeword, then top-M over the 2*cs pool:
+            # allows the same codeword via two different parents (the
+            # diversity top-1 colfold loses).
+            p1 = jnp.argmin(S, axis=1)  # (B, cs)
+            v1 = jnp.min(S, axis=1)
+            S2 = S.at[
+                jnp.arange(B)[:, None], p1, jnp.arange(cs)[None, :]
+            ].set(jnp.inf)
+            p2 = jnp.argmin(S2, axis=1)
+            v2 = jnp.min(S2, axis=1)
+            pool_v = jnp.concatenate([v1, v2], axis=1)  # (B, 2*cs)
+            pool_p = jnp.concatenate([p1, p2], axis=1)
+            _, sel = jax.lax.approx_min_k(pool_v, M, recall_target=1.0)
+            j = sel % cs
+            parent = jnp.take_along_axis(pool_p, sel, axis=1)
         else:  # r1
             j = jnp.argmin(S, axis=-1)
             parent = jnp.broadcast_to(jnp.arange(m)[None, :], j.shape)
@@ -102,12 +121,19 @@ CF_ODD = tuple("colfold" if t % 2 == 1 else "r1" for t in range(nc))
 P_EVEN = tuple("pool" if t % 2 == 0 else "r1" for t in range(nc))
 P_ODD = tuple("pool" if t % 2 == 1 else "r1" for t in range(nc))
 
+CF2_ALL = ("colfold2",) * nc
+CF2_EVEN = tuple("colfold2" if t % 2 == 0 else "r1" for t in range(nc))
+CF2_ODD = tuple("colfold2" if t % 2 == 1 else "r1" for t in range(nc))
+
 cases = {
     "p3 colfold-all": (CF_ALL, CF_ALL, CF_ALL),
     "p3 colfold-altparity": (CF_EVEN, CF_ODD, CF_EVEN),
     "p3 pool-altparity": (P_EVEN, P_ODD, P_EVEN),  # current best, reference
     "p2 colfold-all": (CF_ALL, CF_ALL),
     "p4 colfold-altparity": (CF_EVEN, CF_ODD, CF_EVEN, CF_ODD),
+    "p3 colfold2-all": (CF2_ALL, CF2_ALL, CF2_ALL),
+    "p3 colfold2-altparity": (CF2_EVEN, CF2_ODD, CF2_EVEN),
+    "p4 colfold2-altparity": (CF2_EVEN, CF2_ODD, CF2_EVEN, CF2_ODD),
 }
 for name, schedule in cases.items():
     e = rel_err(jax.jit(
