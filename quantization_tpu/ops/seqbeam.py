@@ -424,6 +424,7 @@ def _seqbeam_kernel_v2(
     passes: int,
     SUBT: int = 1,
     pool_mask: tuple | None = None,
+    cross_value: bool = False,
 ):
     """Restructured sequential-beam kernel (v2).
 
@@ -572,8 +573,16 @@ def _seqbeam_kernel_v2(
                 st["cross0"] = matmul_nt(e, ctab)  # (B_s, cs)
                 st["ss0"] = jnp.sum(e * e, axis=1, keepdims=True)
             elif "rescore" not in _SKIP:
-                # cross[m*B_s+b, j] = E_m . c_t(j)
-                cross_ref[:, :] = matmul_nt(src[:, :], ctab)
+                # cross[m*B_s+b, j] = E_m . c_t(j).  With cross_value the
+                # matmul result is handed to ph1 as an SSA value instead of
+                # round-tripping through the scratch ref: ref reads/writes
+                # can make Mosaic's scheduler order the phases of
+                # INDEPENDENT sub-tiles (coarse memory disambiguation),
+                # defeating the phase-zip's intended MXU/VPU overlap.
+                if cross_value:
+                    st["cross"] = matmul_nt(src[:, :], ctab)
+                else:
+                    cross_ref[:, :] = matmul_nt(src[:, :], ctab)
             st.update(sol_t=sol_t, ctab=ctab, oh_cur=oh_cur, shared=shared)
 
         def ph1_select():
@@ -598,17 +607,18 @@ def _seqbeam_kernel_v2(
                 j_cols = [p for _, p, _ in picks]
                 parent = None
             else:
+                cross = st["cross"] if cross_value else cross_ref[:, :]
                 if "assembly" in _SKIP:
-                    S_full = cross_ref[:, :]
+                    S_full = cross
                 else:
                     sol_stack = jnp.concatenate([sol_t] * M, axis=0)
-                    Ec = _gather_lane256(cross_ref[:, :], sol_stack)
+                    Ec = _gather_lane256(cross, sol_stack)
                     ccn_stack = jnp.concatenate([ccn] * M, axis=0)
                     shared_stack = jnp.concatenate([shared] * M, axis=0)
                     S_full = (
                         (ss_col - 2.0 * Ec - ccn_stack)
                         + shared_stack
-                        + 2.0 * cross_ref[:, :]
+                        + 2.0 * cross
                     )
                 if "sel" in _SKIP:
                     v_cols = [jnp.zeros((B_s, 1), f32)] * M
@@ -919,7 +929,7 @@ def _seqbeam_kernel_v2(
     jax.jit,
     static_argnames=(
         "config", "M", "R", "passes", "block_b", "interpret", "impl",
-        "interleave", "pool_mask",
+        "interleave", "pool_mask", "cross_value",
     ),
 )
 def seqbeam_encode_indexes(
@@ -935,6 +945,7 @@ def seqbeam_encode_indexes(
     impl: str = "v2",
     interleave: int = 1,
     pool_mask: tuple | None = None,
+    cross_value: bool = False,
 ) -> jax.Array:
     """Encode (B, dim) frames to (B, nc) int32 indexes with the fused
     sequential-beam kernel.  Initialisation (logits argmax, or the caller's
@@ -954,7 +965,13 @@ def seqbeam_encode_indexes(
     entry for codebook 0 is ignored (step 0 is always the beam fan-out).
     None = all-pool (the fori-loop code path, identical selection
     semantics).  See experiments/pool_schedule_sweep.py for the measured
-    quality of mixed schedules."""
+    quality of mixed schedules.
+
+    ``cross_value`` (v2 only): pass each step's rescore matmul result from
+    the MXU phase to the selection phase as an SSA value instead of through
+    the cross scratch ref — bit-identical results; a scheduling experiment
+    for the sub-tile phase-zip (ref round-trips may serialize independent
+    sub-tiles' phases under coarse memory disambiguation)."""
     assert SEQBEAM_SUPPORTED(config), config
     if pool_mask is not None:
         assert impl == "v2", "pool_mask requires impl='v2'"
@@ -1021,6 +1038,7 @@ def seqbeam_encode_indexes(
         kernel = functools.partial(
             _seqbeam_kernel_v2, B_t=block_b, D=D, nc=nc, cs=cs, M=M, R=R,
             passes=passes, SUBT=SUBT, pool_mask=pool_mask,
+            cross_value=cross_value,
         )
     else:
         scratch = [

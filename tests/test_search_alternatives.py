@@ -266,6 +266,26 @@ def test_interleave_is_semantics_neutral():
     assert (np.asarray(o1) == np.asarray(o2)).all()
 
 
+def test_cross_value_is_bit_identical():
+    """cross_value (rescore result as SSA value instead of a scratch-ref
+    round-trip) is a pure scheduling knob: outputs must be bit-identical,
+    on both the fori (mask=None) and static-schedule paths."""
+    from quantization_tpu.ops.seqbeam import seqbeam_encode_indexes
+
+    config = core.QuantizerConfig(dim=128, codebook_size=256, num_codebooks=4)
+    params = core.init_quantizer_params(jax.random.PRNGKey(21), config)
+    x = jax.random.normal(jax.random.PRNGKey(22), (128, 128))
+    for kw in (
+        dict(),
+        dict(pool_mask="altparity", interleave=2),
+    ):
+        o_ref = seqbeam_encode_indexes(params, config, x, M=8, R=4, passes=2,
+                                       interpret=True, **kw)
+        o_val = seqbeam_encode_indexes(params, config, x, M=8, R=4, passes=2,
+                                       interpret=True, cross_value=True, **kw)
+        assert (np.asarray(o_ref) == np.asarray(o_val)).all(), kw
+
+
 def test_pool_mask_schedules():
     """pool_mask contracts: an all-pool mask is bit-identical to the
     default (fori) path; the "altparity" string resolves to the per-pass
