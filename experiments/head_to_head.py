@@ -9,11 +9,19 @@ denominator: sum((x - data_mean)^2)).
 
 Usage: python experiments/head_to_head.py [dim] [bpf] [p1] [p2] [batch]
 Writes experiments/head_to_head_<config>.json
+
+QTPU_H2H_SIDE=ours|torch runs one side only (the long torch-CPU leg can
+run while the chip is busy/down, ours later); each side writes a partial
+.<side>.json and the canonical combined file appears once both exist.
 """
 import json
+import os
 import pathlib
 import sys
 import time
+
+SIDE = os.environ.get("QTPU_H2H_SIDE", "both")
+assert SIDE in ("both", "ours", "torch"), SIDE
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 REFERENCE = "/root/reference"
@@ -31,6 +39,9 @@ import numpy as np
 # One fixed stream of numpy batches consumed by BOTH trainers.
 import jax
 
+if os.environ.get("QTPU_FORCE_CPU"):  # sitecustomize pins JAX_PLATFORMS=axon
+    jax.config.update("jax_platforms", "cpu")
+
 from quantization_tpu.data.synthetic import make_mlp_sampler
 
 sampler = make_mlp_sampler(dim, jax.random.PRNGKey(42))
@@ -47,54 +58,74 @@ while len(batches) < n_total:
 x_eval = np.asarray(sampler(jax.random.PRNGKey(2), EVAL_N))
 print(f"data ready: {len(batches)} batches of {batch}x{dim}", flush=True)
 
-# ---------------------------------------------------------------- ours
-from quantization_tpu.train.trainer import QuantizerTrainer as OurTrainer
+HERE = pathlib.Path(__file__).parent
+STEM = f"head_to_head_d{dim}_b{bpf}_{p1}+{p2}"
 
-t0 = time.time()
-ours = OurTrainer(dim=dim, bytes_per_frame=bpf, phase_one_iters=p1,
-                  phase_two_iters=p2, lr=0.005, seed=0, diagnostics=False)
-i = 0
-while not ours.done():
-    ours.step(batches[i]); i += 1
-q = ours.get_quantizer()
-recon = np.asarray(q.decode(q.encode(x_eval)))
-mean = np.asarray(q.get_data_mean())
-ours_err = float(((recon - x_eval) ** 2).sum() / ((x_eval - mean) ** 2).sum())
-ours_time = time.time() - t0
-print(f"ours: rel_err={ours_err:.4f} wall={ours_time:.0f}s", flush=True)
+# ---------------------------------------------------------------- ours
+side_results = {}
+if SIDE in ("both", "ours"):
+    from quantization_tpu.train.trainer import QuantizerTrainer as OurTrainer
+
+    t0 = time.time()
+    ours = OurTrainer(dim=dim, bytes_per_frame=bpf, phase_one_iters=p1,
+                      phase_two_iters=p2, lr=0.005, seed=0, diagnostics=False)
+    i = 0
+    while not ours.done():
+        ours.step(batches[i]); i += 1
+    q = ours.get_quantizer()
+    recon = np.asarray(q.decode(q.encode(x_eval)))
+    mean = np.asarray(q.get_data_mean())
+    ours_err = float(((recon - x_eval) ** 2).sum() / ((x_eval - mean) ** 2).sum())
+    ours_time = time.time() - t0
+    print(f"ours: rel_err={ours_err:.4f} wall={ours_time:.0f}s", flush=True)
+    side_results["ours"] = dict(ours_rel_err=ours_err, ours_wall_s=ours_time)
 
 # ------------------------------------------------------------- reference
-import importlib.util
-import torch
+if SIDE in ("both", "torch"):
+    import importlib.util
+    import torch
 
-spec = importlib.util.spec_from_file_location(
-    "ref_quantization", REFERENCE + "/quantization/quantization.py")
-refq = importlib.util.module_from_spec(spec)
-spec.loader.exec_module(refq)
+    spec = importlib.util.spec_from_file_location(
+        "ref_quantization", REFERENCE + "/quantization/quantization.py")
+    refq = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(refq)
 
-torch.manual_seed(0)
-torch.set_num_threads(1)
-t0 = time.time()
-ref = refq.QuantizerTrainer(dim=dim, bytes_per_frame=bpf, device=torch.device("cpu"),
-                            phase_one_iters=p1, phase_two_iters=p2, lr=0.005)
-i = 0
-while not ref.done():
-    ref.step(torch.from_numpy(batches[i]).float()); i += 1
-    if i % 200 == 0:
-        print(f"  ref iter {i} ({time.time()-t0:.0f}s)", flush=True)
-rq = ref.get_quantizer()
-with torch.no_grad():
-    xe = torch.from_numpy(x_eval).float()
-    recon = rq.decode(rq.encode(xe))
-    mean = rq.get_data_mean()
-    ref_err = float(((recon - xe) ** 2).sum() / ((xe - mean) ** 2).sum())
-ref_time = time.time() - t0
-print(f"reference: rel_err={ref_err:.4f} wall={ref_time:.0f}s", flush=True)
+    torch.manual_seed(0)
+    torch.set_num_threads(1)
+    t0 = time.time()
+    ref = refq.QuantizerTrainer(dim=dim, bytes_per_frame=bpf,
+                                device=torch.device("cpu"),
+                                phase_one_iters=p1, phase_two_iters=p2, lr=0.005)
+    i = 0
+    while not ref.done():
+        ref.step(torch.from_numpy(batches[i]).float()); i += 1
+        if i % 200 == 0:
+            print(f"  ref iter {i} ({time.time()-t0:.0f}s)", flush=True)
+    rq = ref.get_quantizer()
+    with torch.no_grad():
+        xe = torch.from_numpy(x_eval).float()
+        recon = rq.decode(rq.encode(xe))
+        mean = rq.get_data_mean()
+        ref_err = float(((recon - xe) ** 2).sum() / ((xe - mean) ** 2).sum())
+    ref_time = time.time() - t0
+    print(f"reference: rel_err={ref_err:.4f} wall={ref_time:.0f}s", flush=True)
+    side_results["torch"] = dict(ref_rel_err=ref_err, ref_wall_s=ref_time)
 
-result = dict(dim=dim, bytes_per_frame=bpf, p1=p1, p2=p2, batch=batch,
-              ours_rel_err=ours_err, ref_rel_err=ref_err,
-              ratio=ours_err / ref_err,
-              ours_wall_s=ours_time, ref_wall_s=ref_time)
-print(json.dumps(result))
-out = pathlib.Path(__file__).parent / f"head_to_head_d{dim}_b{bpf}_{p1}+{p2}.json"
-out.write_text(json.dumps(result, indent=1))
+# ------------------------------------------------------- combine / write
+base = dict(dim=dim, bytes_per_frame=bpf, p1=p1, p2=p2, batch=batch)
+for side, r in side_results.items():
+    (HERE / f"{STEM}.{side}.json").write_text(json.dumps({**base, **r}))
+merged = dict(base)
+for side in ("ours", "torch"):
+    part = HERE / f"{STEM}.{side}.json"
+    if side in side_results:
+        merged.update(side_results[side])
+    elif part.exists():
+        merged.update({k: v for k, v in json.loads(part.read_text()).items()
+                       if k not in merged})
+if "ours_rel_err" in merged and "ref_rel_err" in merged:
+    merged["ratio"] = merged["ours_rel_err"] / merged["ref_rel_err"]
+    print(json.dumps(merged))
+    (HERE / f"{STEM}.json").write_text(json.dumps(merged, indent=1))
+else:
+    print(json.dumps(merged))
