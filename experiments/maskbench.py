@@ -47,14 +47,18 @@ def fetch_time(fn, nbatch=8):
 names = sys.argv[4:] or ["allpool", "altparity", "even", "r1"]
 results = {}
 for name in names:
-    # name syntax: sched[:block_b[:interleave]]
+    # name syntax: sched[:block_b[:interleave[:flag...]]]
+    # flags: xv = cross_value, sel = reorder="select"
     parts = name.split(":")
     mask = SCHED[parts[0]]
     bb = int(parts[1]) if len(parts) > 1 else 128
     il = int(parts[2]) if len(parts) > 2 else 1
-    f = jax.jit(lambda x, m=mask, bb=bb, il=il: seqbeam.seqbeam_encode_indexes(
+    xv = "xv" in parts[3:]
+    ro = "select" if "sel" in parts[3:] else "gather"
+    f = jax.jit(lambda x, m=mask, bb=bb, il=il, xv=xv, ro=ro:
+                seqbeam.seqbeam_encode_indexes(
         params, cfg, x, M=8, R=4, passes=3, pool_mask=m, block_b=bb,
-        interleave=il))
+        interleave=il, cross_value=xv, reorder=ro))
     try:
         t0 = time.perf_counter()
         dt = fetch_time(f)

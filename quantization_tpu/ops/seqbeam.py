@@ -425,6 +425,7 @@ def _seqbeam_kernel_v2(
     SUBT: int = 1,
     pool_mask: tuple | None = None,
     cross_value: bool = False,
+    reorder: str = "gather",
 ):
     """Restructured sequential-beam kernel (v2).
 
@@ -473,6 +474,8 @@ def _seqbeam_kernel_v2(
     lane_cs = jax.lax.broadcasted_iota(jnp.int32, (B_s, cs), 1)
     lane_full = jax.lax.broadcasted_iota(jnp.int32, (M * B_s, cs), 1)
     lane_pool = jax.lax.broadcasted_iota(jnp.int32, (B_s, M * R), 1)
+    lane_m = jax.lax.broadcasted_iota(jnp.int32, (B_s, M), 1)
+    assert reorder in ("gather", "select"), reorder
 
     def pad_row(row):  # (rows, B_s) -> (rows, CW)
         if B_s == CW:
@@ -699,6 +702,26 @@ def _seqbeam_kernel_v2(
                 # t only (ch_dst is ch_src).
                 for m in range(M):
                     ch_dst[pl.ds(m * nc + t, 1), :] = j_pad[m : m + 1]
+            elif reorder == "select":
+                # chosen reorder as the same bit-keyed select tree (lane
+                # conditions: parent_pad row m broadcast over the nc rows)
+                parent_pad = pad_row(parent_T)  # (M, CW)
+                for m in range(M):
+                    cond = jax.lax.slice(parent_pad, (m, 0), (m + 1, CW))
+                    level = [
+                        ch_src[p * nc : (p + 1) * nc, :] for p in range(M)
+                    ]
+                    bit = 1
+                    while len(level) > 1:
+                        sel = (cond & bit) != 0
+                        level = [
+                            jnp.where(sel, level[2 * i + 1], level[2 * i])
+                            for i in range(len(level) // 2)
+                        ]
+                        bit <<= 1
+                    ch_dst[m * nc : (m + 1) * nc, :] = level[0]
+                for m in range(M):
+                    ch_dst[pl.ds(m * nc + t, 1), :] = j_pad[m : m + 1]
             else:
                 parent_pad = pad_row(parent_T)  # (M, CW)
                 idx_ch = jnp.concatenate([parent_pad] * nc, axis=1)
@@ -716,7 +739,8 @@ def _seqbeam_kernel_v2(
                     )
                 for m in range(M):
                     ch_dst[pl.ds(m * nc + t, 1), :] = j_pad[m : m + 1]
-            st.update(j_col=j_col, parent_T=parent_T)
+            st.update(j_col=j_col, parent_T=parent_T,
+                      parent=None if (first or parent is None) else parent)
             return ss_new
 
         def ph2_ext():
@@ -742,6 +766,42 @@ def _seqbeam_kernel_v2(
                 # R1: no reorder — in-place extension (dst_ref is src).
                 if c_delta is not None:
                     dst_ref[:, :] = src[:, :] + c_delta
+            elif reorder == "select" and "reorder" not in _SKIP:
+                # Beam reorder as a bit-exact SELECT TREE: destination
+                # block m picks, per frame, one of the M aligned B_s-row
+                # slices of E via log2(M) levels of full-rate vector
+                # selects keyed on the parent index bits (conditions are
+                # (B_s, 1) columns broadcast over D lanes).  Identical row
+                # moves to the dynamic_gather path, but selects run at
+                # vector rate while the cross-sublane gather shuffle does
+                # not.
+                src_blocks = [
+                    src[p * B_s : (p + 1) * B_s, :] for p in range(M)
+                ]
+                for m in range(M):
+                    cond = jnp.sum(
+                        jnp.where(lane_m == m, st["parent"], 0),
+                        axis=1,
+                        keepdims=True,
+                    )  # (B_s, 1) parent index for dst block m
+                    level = src_blocks
+                    bit = 1
+                    while len(level) > 1:
+                        sel = (cond & bit) != 0
+                        level = [
+                            jnp.where(sel, level[2 * i + 1], level[2 * i])
+                            for i in range(len(level) // 2)
+                        ]
+                        bit <<= 1
+                    picked = level[0]
+                    dst_ref[m * B_s : (m + 1) * B_s, :] = (
+                        picked
+                        + (
+                            c_delta[m * B_s : (m + 1) * B_s, :]
+                            if c_delta is not None
+                            else 0.0
+                        )
+                    )
             else:
                 e_groups = [
                     src[g * 8 * B_s : (g + 1) * 8 * B_s, :].reshape(
@@ -929,7 +989,7 @@ def _seqbeam_kernel_v2(
     jax.jit,
     static_argnames=(
         "config", "M", "R", "passes", "block_b", "interpret", "impl",
-        "interleave", "pool_mask", "cross_value",
+        "interleave", "pool_mask", "cross_value", "reorder",
     ),
 )
 def seqbeam_encode_indexes(
@@ -946,6 +1006,7 @@ def seqbeam_encode_indexes(
     interleave: int = 1,
     pool_mask: tuple | None = None,
     cross_value: bool = False,
+    reorder: str = "gather",
 ) -> jax.Array:
     """Encode (B, dim) frames to (B, nc) int32 indexes with the fused
     sequential-beam kernel.  Initialisation (logits argmax, or the caller's
@@ -971,7 +1032,16 @@ def seqbeam_encode_indexes(
     the MXU phase to the selection phase as an SSA value instead of through
     the cross scratch ref — bit-identical results; a scheduling experiment
     for the sub-tile phase-zip (ref round-trips may serialize independent
-    sub-tiles' phases under coarse memory disambiguation)."""
+    sub-tiles' phases under coarse memory disambiguation).
+
+    ``reorder`` (v2 only): "gather" = sublane dynamic_gather beam reorder;
+    "select" = the same row moves as a log2(M)-level full-rate vector
+    select tree keyed on the parent index bits (bit-identical outputs; a
+    performance A/B for the cross-sublane gather path).
+
+    (A one-hot permutation-MATMUL reorder was also considered and is
+    FLOP-dead: the (M*B_s, M*B_s) x (M*B_s, D) contraction costs ~60x the
+    rescore matmul because the MXU cannot exploit the one-hot sparsity.)"""
     assert SEQBEAM_SUPPORTED(config), config
     if pool_mask is not None:
         assert impl == "v2", "pool_mask requires impl='v2'"
@@ -1030,7 +1100,11 @@ def seqbeam_encode_indexes(
             scratch += [
                 pltpu.VMEM((M * B_s, D), jnp.float32),
                 pltpu.VMEM((M * B_s, D), jnp.float32),
-                pltpu.VMEM((M * B_s, cs), jnp.float32),
+                # cross scratch is dead under cross_value — allocate a
+                # dummy tile to return the VMEM to the compiler's temps
+                pltpu.VMEM(
+                    (8, 128) if cross_value else (M * B_s, cs), jnp.float32
+                ),
                 pltpu.VMEM((M * nc, max(128, B_s)), jnp.int32),
                 pltpu.VMEM((M * nc, max(128, B_s)), jnp.int32),
                 pltpu.VMEM((nc * B_s, 1), jnp.int32),
@@ -1038,7 +1112,7 @@ def seqbeam_encode_indexes(
         kernel = functools.partial(
             _seqbeam_kernel_v2, B_t=block_b, D=D, nc=nc, cs=cs, M=M, R=R,
             passes=passes, SUBT=SUBT, pool_mask=pool_mask,
-            cross_value=cross_value,
+            cross_value=cross_value, reorder=reorder,
         )
     else:
         scratch = [

@@ -286,6 +286,26 @@ def test_cross_value_is_bit_identical():
         assert (np.asarray(o_ref) == np.asarray(o_val)).all(), kw
 
 
+def test_select_reorder_is_bit_identical():
+    """reorder="select" replaces the sublane-gather beam reorder with a
+    log2(M)-level vector select tree — the SAME row moves, so outputs must
+    be bit-identical to the gather path on both schedule paths."""
+    from quantization_tpu.ops.seqbeam import seqbeam_encode_indexes
+
+    config = core.QuantizerConfig(dim=128, codebook_size=256, num_codebooks=4)
+    params = core.init_quantizer_params(jax.random.PRNGKey(30), config)
+    x = jax.random.normal(jax.random.PRNGKey(31), (128, 128))
+    for kw in (
+        dict(block_b=128),
+        dict(block_b=128, pool_mask="altparity", interleave=2),
+    ):
+        o_g = seqbeam_encode_indexes(params, config, x, M=8, R=4, passes=2,
+                                     interpret=True, reorder="gather", **kw)
+        o_s = seqbeam_encode_indexes(params, config, x, M=8, R=4, passes=2,
+                                     interpret=True, reorder="select", **kw)
+        assert (np.asarray(o_g) == np.asarray(o_s)).all(), kw
+
+
 def test_pool_mask_schedules():
     """pool_mask contracts: an all-pool mask is bit-identical to the
     default (fori) path; the "altparity" string resolves to the per-pass
