@@ -48,13 +48,15 @@ names = sys.argv[4:] or ["allpool", "altparity", "even", "r1"]
 results = {}
 for name in names:
     # name syntax: sched[:block_b[:interleave[:flag...]]]
-    # flags: xv = cross_value, sel = reorder="select"
+    # flags: xv = cross_value, sel = reorder="select",
+    #        wsel = reorder="wideselect"
     parts = name.split(":")
     mask = SCHED[parts[0]]
     bb = int(parts[1]) if len(parts) > 1 else 128
     il = int(parts[2]) if len(parts) > 2 else 1
     xv = "xv" in parts[3:]
-    ro = "select" if "sel" in parts[3:] else "gather"
+    ro = ("wideselect" if "wsel" in parts[3:]
+          else "select" if "sel" in parts[3:] else "gather")
     f = jax.jit(lambda x, m=mask, bb=bb, il=il, xv=xv, ro=ro:
                 seqbeam.seqbeam_encode_indexes(
         params, cfg, x, M=8, R=4, passes=3, pool_mask=m, block_b=bb,

@@ -475,7 +475,7 @@ def _seqbeam_kernel_v2(
     lane_full = jax.lax.broadcasted_iota(jnp.int32, (M * B_s, cs), 1)
     lane_pool = jax.lax.broadcasted_iota(jnp.int32, (B_s, M * R), 1)
     lane_m = jax.lax.broadcasted_iota(jnp.int32, (B_s, M), 1)
-    assert reorder in ("gather", "select"), reorder
+    assert reorder in ("gather", "select", "wideselect"), reorder
 
     def pad_row(row):  # (rows, B_s) -> (rows, CW)
         if B_s == CW:
@@ -702,7 +702,7 @@ def _seqbeam_kernel_v2(
                 # t only (ch_dst is ch_src).
                 for m in range(M):
                     ch_dst[pl.ds(m * nc + t, 1), :] = j_pad[m : m + 1]
-            elif reorder == "select":
+            elif reorder in ("select", "wideselect"):
                 # chosen reorder as the same bit-keyed select tree (lane
                 # conditions: parent_pad row m broadcast over the nc rows)
                 parent_pad = pad_row(parent_T)  # (M, CW)
@@ -766,6 +766,38 @@ def _seqbeam_kernel_v2(
                 # R1: no reorder — in-place extension (dst_ref is src).
                 if c_delta is not None:
                     dst_ref[:, :] = src[:, :] + c_delta
+            elif reorder == "wideselect" and "reorder" not in _SKIP:
+                # Same select tree, matrix-at-a-time: ONE (M*B_s, D) select
+                # per tree node (log2(M) levels, M-1 nodes total) instead
+                # of an M-loop of per-block trees — Mosaic pays a fixed
+                # cost per op (round-2 lesson), so fewer/wider ops win when
+                # the work is overhead-bound.  Level-0 operands are the M
+                # source blocks each tiled M-fold vertically; the condition
+                # is the (M*B_s, 1) column stack of each destination
+                # block's parent index.
+                pcol = jnp.concatenate(
+                    [
+                        jax.lax.slice(st["parent"], (0, m), (B_s, m + 1))
+                        for m in range(M)
+                    ],
+                    axis=0,
+                )  # (M*B_s, 1)
+                level = [
+                    jnp.concatenate([src[p * B_s : (p + 1) * B_s, :]] * M,
+                                    axis=0)
+                    for p in range(M)
+                ]
+                bit = 1
+                while len(level) > 1:
+                    sel = (pcol & bit) != 0
+                    level = [
+                        jnp.where(sel, level[2 * i + 1], level[2 * i])
+                        for i in range(len(level) // 2)
+                    ]
+                    bit <<= 1
+                dst_ref[:, :] = level[0] + (
+                    c_delta if c_delta is not None else 0.0
+                )
             elif reorder == "select" and "reorder" not in _SKIP:
                 # Beam reorder as a bit-exact SELECT TREE: destination
                 # block m picks, per frame, one of the M aligned B_s-row
@@ -1037,7 +1069,9 @@ def seqbeam_encode_indexes(
     ``reorder`` (v2 only): "gather" = sublane dynamic_gather beam reorder;
     "select" = the same row moves as a log2(M)-level full-rate vector
     select tree keyed on the parent index bits (bit-identical outputs; a
-    performance A/B for the cross-sublane gather path).
+    performance A/B for the cross-sublane gather path); "wideselect" =
+    the same tree with one full-height (M*B_s, D) select per tree node
+    instead of an M-loop of per-block trees (fewer, wider ops).
 
     (A one-hot permutation-MATMUL reorder was also considered and is
     FLOP-dead: the (M*B_s, M*B_s) x (M*B_s, D) contraction costs ~60x the

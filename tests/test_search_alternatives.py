@@ -304,6 +304,10 @@ def test_select_reorder_is_bit_identical():
         o_s = seqbeam_encode_indexes(params, config, x, M=8, R=4, passes=2,
                                      interpret=True, reorder="select", **kw)
         assert (np.asarray(o_g) == np.asarray(o_s)).all(), kw
+        o_w = seqbeam_encode_indexes(params, config, x, M=8, R=4, passes=2,
+                                     interpret=True, reorder="wideselect",
+                                     **kw)
+        assert (np.asarray(o_g) == np.asarray(o_w)).all(), kw
 
 
 def test_pool_mask_schedules():
