@@ -49,17 +49,27 @@ results = {}
 for name in names:
     # name syntax: sched[:block_b[:interleave[:flag...]]]
     # flags: xv = cross_value, sel = reorder="select",
-    #        wsel = reorder="wideselect"
+    #        wsel = reorder="wideselect", m<N>/r<N>/p<N> = M/R/passes
     parts = name.split(":")
     mask = SCHED[parts[0]]
     bb = int(parts[1]) if len(parts) > 1 else 128
     il = int(parts[2]) if len(parts) > 2 else 1
-    xv = "xv" in parts[3:]
-    ro = ("wideselect" if "wsel" in parts[3:]
-          else "select" if "sel" in parts[3:] else "gather")
-    f = jax.jit(lambda x, m=mask, bb=bb, il=il, xv=xv, ro=ro:
+    flags = parts[3:]
+    xv = "xv" in flags
+    ro = ("wideselect" if "wsel" in flags
+          else "select" if "sel" in flags else "gather")
+    M = R = p = None
+    for fl in flags:
+        if fl and fl[0] in "mrp" and fl[1:].isdigit():
+            M = int(fl[1:]) if fl[0] == "m" else M
+            R = int(fl[1:]) if fl[0] == "r" else R
+            p = int(fl[1:]) if fl[0] == "p" else p
+    M, R, p = M or 8, R or 4, p or 3
+    if isinstance(mask, tuple) and isinstance(mask[0], tuple) and len(mask) != p:
+        mask = tuple(mask[i % len(mask)] for i in range(p))
+    f = jax.jit(lambda x, m=mask, bb=bb, il=il, xv=xv, ro=ro, M=M, R=R, p=p:
                 seqbeam.seqbeam_encode_indexes(
-        params, cfg, x, M=8, R=4, passes=3, pool_mask=m, block_b=bb,
+        params, cfg, x, M=M, R=R, passes=p, pool_mask=m, block_b=bb,
         interleave=il, cross_value=xv, reorder=ro))
     try:
         t0 = time.perf_counter()
