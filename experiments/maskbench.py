@@ -49,13 +49,15 @@ results = {}
 for name in names:
     # name syntax: sched[:block_b[:interleave[:flag...]]]
     # flags: xv = cross_value, sel = reorder="select",
-    #        wsel = reorder="wideselect", m<N>/r<N>/p<N> = M/R/passes
+    #        wsel = reorder="wideselect", ebf = e_dtype="bf16",
+    #        m<N>/r<N>/p<N> = M/R/passes
     parts = name.split(":")
     mask = SCHED[parts[0]]
     bb = int(parts[1]) if len(parts) > 1 else 128
     il = int(parts[2]) if len(parts) > 2 else 1
     flags = parts[3:]
     xv = "xv" in flags
+    ed = "bf16" if "ebf" in flags else "f32"
     ro = ("wideselect" if "wsel" in flags
           else "select" if "sel" in flags else "gather")
     M = R = p = None
@@ -67,10 +69,10 @@ for name in names:
     M, R, p = M or 8, R or 4, p or 3
     if isinstance(mask, tuple) and isinstance(mask[0], tuple) and len(mask) != p:
         mask = tuple(mask[i % len(mask)] for i in range(p))
-    f = jax.jit(lambda x, m=mask, bb=bb, il=il, xv=xv, ro=ro, M=M, R=R, p=p:
-                seqbeam.seqbeam_encode_indexes(
+    f = jax.jit(lambda x, m=mask, bb=bb, il=il, xv=xv, ro=ro, M=M, R=R,
+                p=p, ed=ed: seqbeam.seqbeam_encode_indexes(
         params, cfg, x, M=M, R=R, passes=p, pool_mask=m, block_b=bb,
-        interleave=il, cross_value=xv, reorder=ro))
+        interleave=il, cross_value=xv, reorder=ro, e_dtype=ed))
     try:
         t0 = time.perf_counter()
         dt = fetch_time(f)

@@ -426,6 +426,7 @@ def _seqbeam_kernel_v2(
     pool_mask: tuple | None = None,
     cross_value: bool = False,
     reorder: str = "gather",
+    e_dtype: str = "f32",
 ):
     """Restructured sequential-beam kernel (v2).
 
@@ -476,6 +477,14 @@ def _seqbeam_kernel_v2(
     lane_pool = jax.lax.broadcasted_iota(jnp.int32, (B_s, M * R), 1)
     lane_m = jax.lax.broadcasted_iota(jnp.int32, (B_s, M), 1)
     assert reorder in ("gather", "select", "wideselect"), reorder
+    # bf16 E halves reorder/extension traffic; rescore precision is
+    # unchanged (the matmul casts E to bf16 either way), only the per-step
+    # E += c_delta accumulation rounds at bf16 (quality measured at +0.01%
+    # of the f32 variant, experiments/e_bf16_quality_d512_b8.json).  The
+    # dynamic_gather reorder is f32/int32-only, hence the gate.
+    ED = jnp.bfloat16 if e_dtype == "bf16" else jnp.float32
+    assert e_dtype == "f32" or reorder in ("select", "wideselect"), (
+        e_dtype, reorder)
 
     def pad_row(row):  # (rows, B_s) -> (rows, CW)
         if B_s == CW:
@@ -761,11 +770,13 @@ def _seqbeam_kernel_v2(
             if first:
                 if c_delta is not None:
                     e_stack = jnp.concatenate([src] * M, axis=0)  # (M*B_s, D)
-                    dst_ref[:, :] = e_stack + c_delta
+                    dst_ref[:, :] = (e_stack + c_delta).astype(ED)
             elif not pool:
                 # R1: no reorder — in-place extension (dst_ref is src).
                 if c_delta is not None:
-                    dst_ref[:, :] = src[:, :] + c_delta
+                    dst_ref[:, :] = (
+                        src[:, :].astype(f32) + c_delta
+                    ).astype(ED)
             elif reorder == "wideselect" and "reorder" not in _SKIP:
                 # Same select tree, matrix-at-a-time: ONE (M*B_s, D) select
                 # per tree node (log2(M) levels, M-1 nodes total) instead
@@ -795,9 +806,10 @@ def _seqbeam_kernel_v2(
                         for i in range(len(level) // 2)
                     ]
                     bit <<= 1
-                dst_ref[:, :] = level[0] + (
-                    c_delta if c_delta is not None else 0.0
-                )
+                dst_ref[:, :] = (
+                    level[0].astype(f32)
+                    + (c_delta if c_delta is not None else 0.0)
+                ).astype(ED)
             elif reorder == "select" and "reorder" not in _SKIP:
                 # Beam reorder as a bit-exact SELECT TREE: destination
                 # block m picks, per frame, one of the M aligned B_s-row
@@ -825,7 +837,7 @@ def _seqbeam_kernel_v2(
                             for i in range(len(level) // 2)
                         ]
                         bit <<= 1
-                    picked = level[0]
+                    picked = level[0].astype(f32)
                     dst_ref[m * B_s : (m + 1) * B_s, :] = (
                         picked
                         + (
@@ -833,7 +845,7 @@ def _seqbeam_kernel_v2(
                             if c_delta is not None
                             else 0.0
                         )
-                    )
+                    ).astype(ED)
             else:
                 e_groups = [
                     src[g * 8 * B_s : (g + 1) * 8 * B_s, :].reshape(
@@ -857,13 +869,13 @@ def _seqbeam_kernel_v2(
                             e_groups, idx_for_half(h)
                         ).reshape(8 * B_s, D)
                     dst_ref[8 * h * B_s : 8 * (h + 1) * B_s, :] = (
-                        picked
+                        picked.astype(f32)
                         + (
                             c_delta[8 * h * B_s : 8 * (h + 1) * B_s, :]
                             if c_delta is not None
                             else 0.0
                         )
-                    )
+                    ).astype(ED)
 
         return [ph0_rescore, ph1_select, ph2_ext, ph3_move]
 
@@ -1021,7 +1033,7 @@ def _seqbeam_kernel_v2(
     jax.jit,
     static_argnames=(
         "config", "M", "R", "passes", "block_b", "interpret", "impl",
-        "interleave", "pool_mask", "cross_value", "reorder",
+        "interleave", "pool_mask", "cross_value", "reorder", "e_dtype",
     ),
 )
 def seqbeam_encode_indexes(
@@ -1039,6 +1051,7 @@ def seqbeam_encode_indexes(
     pool_mask: tuple | None = None,
     cross_value: bool = False,
     reorder: str = "gather",
+    e_dtype: str = "f32",
 ) -> jax.Array:
     """Encode (B, dim) frames to (B, nc) int32 indexes with the fused
     sequential-beam kernel.  Initialisation (logits argmax, or the caller's
@@ -1075,8 +1088,14 @@ def seqbeam_encode_indexes(
 
     (A one-hot permutation-MATMUL reorder was also considered and is
     FLOP-dead: the (M*B_s, M*B_s) x (M*B_s, D) contraction costs ~60x the
-    rescore matmul because the MXU cannot exploit the one-hot sparsity.)"""
+    rescore matmul because the MXU cannot exploit the one-hot sparsity.)
+
+    ``e_dtype`` (v2 + select reorders only): "f32" (default) or "bf16"
+    storage for the candidate error buffers.  Rescore already casts E to
+    bf16, so bf16 storage only adds rounding at the per-step E += c_delta
+    accumulation; it halves the reorder/extension traffic."""
     assert SEQBEAM_SUPPORTED(config), config
+    assert impl == "v2" or e_dtype == "f32", (impl, e_dtype)
     if pool_mask is not None:
         assert impl == "v2", "pool_mask requires impl='v2'"
         if isinstance(pool_mask, str):
@@ -1129,11 +1148,16 @@ def seqbeam_encode_indexes(
         B_s = block_b // SUBT
         if B_s not in (64, 128, 256):
             SUBT, B_s = 1, block_b
+        assert e_dtype in ("f32", "bf16"), e_dtype
+        assert e_dtype == "f32" or reorder in ("select", "wideselect"), (
+            "bf16 E requires a select-tree reorder (dynamic_gather is "
+            "f32/int32-only)")
+        _ED = jnp.bfloat16 if e_dtype == "bf16" else jnp.float32
         scratch = []
         for _ in range(SUBT):
             scratch += [
-                pltpu.VMEM((M * B_s, D), jnp.float32),
-                pltpu.VMEM((M * B_s, D), jnp.float32),
+                pltpu.VMEM((M * B_s, D), _ED),
+                pltpu.VMEM((M * B_s, D), _ED),
                 # cross scratch is dead under cross_value — allocate a
                 # dummy tile to return the VMEM to the compiler's temps
                 pltpu.VMEM(
@@ -1146,7 +1170,7 @@ def seqbeam_encode_indexes(
         kernel = functools.partial(
             _seqbeam_kernel_v2, B_t=block_b, D=D, nc=nc, cs=cs, M=M, R=R,
             passes=passes, SUBT=SUBT, pool_mask=pool_mask,
-            cross_value=cross_value, reorder=reorder,
+            cross_value=cross_value, reorder=reorder, e_dtype=e_dtype,
         )
     else:
         scratch = [

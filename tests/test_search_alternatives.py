@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 from quantization_tpu import core
-from quantization_tpu.core import search
+from quantization_tpu.core import codec, search
 from quantization_tpu.ops.seqbeam import seqbeam_encode_indexes, SEQBEAM_SUPPORTED
 
 
@@ -308,6 +308,34 @@ def test_select_reorder_is_bit_identical():
                                      interpret=True, reorder="wideselect",
                                      **kw)
         assert (np.asarray(o_g) == np.asarray(o_w)).all(), kw
+
+
+def test_bf16_e_buffer_quality():
+    """e_dtype="bf16" only adds rounding at the per-step E += c_delta
+    accumulation (rescore casts E to bf16 either way), so its
+    reconstruction error must be within a whisker of the f32 variant's.
+    Not bit-identical by construction — compare errors, not indexes."""
+    from quantization_tpu.ops.seqbeam import seqbeam_encode_indexes
+
+    config = core.QuantizerConfig(dim=128, codebook_size=256, num_codebooks=4)
+    params = core.init_quantizer_params(jax.random.PRNGKey(40), config)
+    x = jax.random.normal(jax.random.PRNGKey(41), (128, 128))
+    centers = core.scaled_centers(params, config.scale_speed)
+
+    def err(indexes):
+        recon = codec.decode_indexes(centers, np.asarray(indexes))
+        return float(jnp.sum((recon - x) ** 2))
+
+    kw = dict(M=8, R=4, passes=2, interpret=True, block_b=128,
+              reorder="select", pool_mask="altparity")
+    e_f32 = err(seqbeam_encode_indexes(params, config, x, **kw))
+    e_bf16 = err(seqbeam_encode_indexes(params, config, x, e_dtype="bf16",
+                                        **kw))
+    assert e_bf16 <= 1.02 * e_f32, (e_bf16, e_f32)
+    with pytest.raises(AssertionError):
+        seqbeam_encode_indexes(params, config, x, e_dtype="bf16",
+                               reorder="gather", M=8, R=4, passes=2,
+                               interpret=True)
 
 
 def test_pool_mask_schedules():
