@@ -1,0 +1,22 @@
+#!/bin/bash
+# Round-3 reorder/e_dtype/M16 A/B matrix on the real chip, in value order.
+# Each maskbench invocation compiles + times one config; compiles through
+# the remote helper are erratic (1-7 min), so everything logs to
+# experiments/ab_r3.log and keeps going on failure.
+cd "$(dirname "$0")/.."
+LOG=experiments/ab_r3.log
+: > "$LOG"
+run() {
+  echo "=== $* $(date +%H:%M:%S) ===" >> "$LOG"
+  timeout 1500 python experiments/maskbench.py 8192 512 8 "$@" >> "$LOG" 2>&1
+}
+# 1. reorder A/B at the current default config (M8R4p3 altparity)
+run altparity:128:1 altparity:128:1:sel altparity:128:1:wsel
+# 2. bf16 E on the select variants (halved reorder/extension traffic)
+run altparity:128:1:sel:ebf altparity:128:1:wsel:ebf
+# 3. M16R4p2 full-pool (kernel quality already measured +0.74%, in-bar):
+#    gather was reorder-bound at M16; select trees may flip the verdict
+run allpool:128:1:m16:p2 allpool:128:1:sel:m16:p2 allpool:128:1:sel:ebf:m16:p2
+# 4. phase-zip overlap with cross_value on the best sel config
+run altparity:128:2:xv:sel:ebf altparity:128:2:xv
+echo "DONE $(date +%H:%M:%S)" >> "$LOG"
