@@ -51,4 +51,17 @@ for (M, R, p, mk) in (
                                        pool_mask=mask))
     results[k] = e
     print(f"{k:26s} {e:.5f} (+{100*(e/ref-1):.2f}%)", flush=True)
+# on-chip quality of the halved-traffic variant (select reorder + bf16 E);
+# the CPU sim puts it at +0.01%/0.00% of the f32 kernel
+# (experiments/e_bf16_quality_d*.json)
+for (M, R, p, mk) in ((8, 4, 3, "+altparity"), (16, 4, 2, "")):
+    mask = MASKS[mk]
+    if mask is not None and len(mask) != p:
+        continue
+    k = f"kernel M{M}R{R}p{p}{mk}+sel+ebf16"
+    e = rel_err(seqbeam_encode_indexes(params, config, x, M=M, R=R, passes=p,
+                                       pool_mask=mask, reorder="select",
+                                       e_dtype="bf16"))
+    results[k] = e
+    print(f"{k:26s} {e:.5f} (+{100*(e/ref-1):.2f}%)", flush=True)
 (HERE / f"kernel_quality_d{dim}_b{bpf}.json").write_text(json.dumps(results))

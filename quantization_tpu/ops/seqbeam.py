@@ -786,13 +786,20 @@ def _seqbeam_kernel_v2(
                 # source blocks each tiled M-fold vertically; the condition
                 # is the (M*B_s, 1) column stack of each destination
                 # block's parent index.
+                # (M*B_s, 1) column stack of per-dst-block parent indexes
+                # (masked lane-reduce, NOT a sub-128 lane slice: Mosaic
+                # rejects lane offsets that are not 128-multiples)
                 pcol = jnp.concatenate(
                     [
-                        jax.lax.slice(st["parent"], (0, m), (B_s, m + 1))
+                        jnp.sum(
+                            jnp.where(lane_m == m, st["parent"], 0),
+                            axis=1,
+                            keepdims=True,
+                        )
                         for m in range(M)
                     ],
                     axis=0,
-                )  # (M*B_s, 1)
+                )
                 level = [
                     jnp.concatenate([src[p * B_s : (p + 1) * B_s, :]] * M,
                                     axis=0)
