@@ -17,6 +17,10 @@ run altparity:128:1:sel:ebf altparity:128:1:wsel:ebf
 # 3. M16R4p2 full-pool (kernel quality already measured +0.74%, in-bar):
 #    gather was reorder-bound at M16; select trees may flip the verdict
 run allpool:128:1:m16:p2 allpool:128:1:sel:m16:p2 allpool:128:1:sel:ebf:m16:p2
+run allpool:128:1:sel:ebf:m16:r2:p2
 # 4. phase-zip overlap with cross_value on the best sel config
 run altparity:128:2:xv:sel:ebf altparity:128:2:xv
+# 5. production-form confirmation (the auto config ships block_b=256,
+#    interleave=2): candidate winners in that form
+run altparity:256:2 altparity:256:2:sel:ebf altparity:256:2:xv:sel:ebf
 echo "DONE $(date +%H:%M:%S)" >> "$LOG"

@@ -697,15 +697,25 @@ def _seqbeam_kernel_v2(
             if "chosen" in _SKIP:
                 pass
             elif first:
-                # seed all candidates from the root solution, overwrite row t
-                for s in range(nc):
-                    sol_row = pad_row(
-                        sol_ref[pl.ds(s * B_s, B_s), :].T
-                    )  # (1, CW)
-                    for m in range(M):
-                        ch_dst[pl.ds(m * nc + s, 1), :] = sol_row
-                for m in range(M):
-                    ch_dst[pl.ds(m * nc + t, 1), :] = j_pad[m : m + 1]
+                # seed all candidates from the root solution with row t
+                # overwritten, assembled as ONE (M*nc, CW) value + a single
+                # ref write: the original M*nc single-row ref writes paid
+                # Mosaic's fixed per-op cost ~72x per pass per tile
+                sol_block = jnp.concatenate(
+                    [
+                        pad_row(sol_ref[pl.ds(s * B_s, B_s), :].T)
+                        for s in range(nc)
+                    ],
+                    axis=0,
+                )  # (nc, CW)
+                riota = jax.lax.broadcasted_iota(jnp.int32, (nc, 1), 0)
+                ch_dst[:, :] = jnp.concatenate(
+                    [
+                        jnp.where(riota == t, j_pad[m : m + 1], sol_block)
+                        for m in range(M)
+                    ],
+                    axis=0,
+                )
             elif not pool:
                 # R1: children stay in their parent's slot — overwrite row
                 # t only (ch_dst is ch_src).
@@ -713,8 +723,12 @@ def _seqbeam_kernel_v2(
                     ch_dst[pl.ds(m * nc + t, 1), :] = j_pad[m : m + 1]
             elif reorder in ("select", "wideselect"):
                 # chosen reorder as the same bit-keyed select tree (lane
-                # conditions: parent_pad row m broadcast over the nc rows)
+                # conditions: parent_pad row m broadcast over the nc rows);
+                # the row-t overwrite is folded into the block write (an
+                # M-loop of single-row ref writes pays Mosaic's fixed
+                # per-op cost)
                 parent_pad = pad_row(parent_T)  # (M, CW)
+                riota_nc = jax.lax.broadcasted_iota(jnp.int32, (nc, 1), 0)
                 for m in range(M):
                     cond = jax.lax.slice(parent_pad, (m, 0), (m + 1, CW))
                     level = [
@@ -728,9 +742,9 @@ def _seqbeam_kernel_v2(
                             for i in range(len(level) // 2)
                         ]
                         bit <<= 1
-                    ch_dst[m * nc : (m + 1) * nc, :] = level[0]
-                for m in range(M):
-                    ch_dst[pl.ds(m * nc + t, 1), :] = j_pad[m : m + 1]
+                    ch_dst[m * nc : (m + 1) * nc, :] = jnp.where(
+                        riota_nc == t, j_pad[m : m + 1], level[0]
+                    )
             else:
                 parent_pad = pad_row(parent_T)  # (M, CW)
                 idx_ch = jnp.concatenate([parent_pad] * nc, axis=1)
@@ -1011,10 +1025,13 @@ def _seqbeam_kernel_v2(
             ]
             winner = _gather_rows_grouped(ch_groups, idx_best)  # (8, nc*CW)
             winner_col = winner[0:1, :].T  # (nc*CW, 1)
-            for t in range(nc):
-                sol_ref[t * B_s : (t + 1) * B_s, :] = winner_col[
-                    t * CW : t * CW + B_s, :
-                ]
+            if CW == B_s:
+                sol_ref[:, :] = winner_col
+            else:
+                for t in range(nc):
+                    sol_ref[t * B_s : (t + 1) * B_s, :] = winner_col[
+                        t * CW : t * CW + B_s, :
+                    ]
         return 0
 
     if pool_mask is not None and isinstance(pool_mask[0], tuple):
