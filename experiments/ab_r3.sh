@@ -18,9 +18,21 @@ run altparity:128:1:sel:ebf altparity:128:1:wsel:ebf
 #    gather was reorder-bound at M16; select trees may flip the verdict
 run allpool:128:1:m16:p2 allpool:128:1:sel:m16:p2 allpool:128:1:sel:ebf:m16:p2
 run allpool:128:1:sel:ebf:m16:r2:p2
+# 3b. sim-screened 2-pass pool configs (experiments/sim_pool_quality.py:
+#     allpool M16R2p2 +0.90%, M32R2p2 +0.67%, M16R8p2 +0.73% vs beam-5)
+run allpool:128:1:sel:ebf:m32:r2:p2 allpool:128:1:ebf:m32:r2:p2
 # 4. phase-zip overlap with cross_value on the best sel config
 run altparity:128:2:xv:sel:ebf altparity:128:2:xv
 # 5. production-form confirmation (the auto config ships block_b=256,
 #    interleave=2): candidate winners in that form
 run altparity:256:2 altparity:256:2:sel:ebf altparity:256:2:xv:sel:ebf
+# 6. dim=256/4B flagship: sim-screened (sim_pool_quality.py) allpool
+#    M32R4p1 +0.53% / M32R2p2 +0.16% / M16R2p2 +0.34% vs the shipped
+#    2-pass altparity M8R4 +0.69%; single-pass halves the fixed costs
+run256() {
+  echo "=== d256 $* $(date +%H:%M:%S) ===" >> "$LOG"
+  timeout 1500 python experiments/maskbench.py 8192 256 4 "$@" >> "$LOG" 2>&1
+}
+run256 altparity:256:2:p2 allpool:128:1:sel:ebf:m32:r4:p1 \
+       allpool:128:1:sel:ebf:m32:r2:p2 allpool:128:1:sel:ebf:m16:r2:p2
 echo "DONE $(date +%H:%M:%S)" >> "$LOG"
