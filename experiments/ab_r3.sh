@@ -21,6 +21,7 @@ run allpool:128:1:sel:ebf:m16:r2:p2
 # 3b. sim-screened 2-pass pool configs (experiments/sim_pool_quality.py:
 #     allpool M16R2p2 +0.90%, M32R2p2 +0.67%, M16R8p2 +0.73% vs beam-5)
 run allpool:128:1:sel:ebf:m32:r2:p2 allpool:128:1:ebf:m32:r2:p2
+run alllast:128:1:sel:ebf:m32:r2:p2 alllast:128:1:sel:ebf:m16:r4:p2
 # 4. phase-zip overlap with cross_value on the best sel config
 run altparity:128:2:xv:sel:ebf altparity:128:2:xv
 # 5. production-form confirmation (the auto config ships block_b=256,

@@ -31,6 +31,9 @@ SCHED = {
     "third": TH[2],
     "rotthird": (TH[0], TH[1], TH[2]),
     "pass12": (NONE, ALL, ALL),
+    # 2-pass mixed schedules (sim_pool_quality.py screening)
+    "allfirst": (ALL, EVEN),
+    "alllast": (EVEN, ALL),
 }
 
 

@@ -100,7 +100,13 @@ EVEN = tuple(t % 2 == 0 for t in range(nc))
 ODD = tuple(t % 2 == 1 for t in range(nc))
 ALL = (True,) * nc
 SCHED = {"allpool": lambda p: (ALL,) * p,
-         "altparity": lambda p: tuple((EVEN, ODD)[i % 2] for i in range(p))}
+         "altparity": lambda p: tuple((EVEN, ODD)[i % 2] for i in range(p)),
+         # full pool on the first pass, masked refinement passes after
+         "allfirst": lambda p: (ALL,) + tuple(
+             (EVEN, ODD)[i % 2] for i in range(p - 1)),
+         # masked first pass, full-pool polish last
+         "alllast": lambda p: tuple(
+             (EVEN, ODD)[i % 2] for i in range(p - 1)) + (ALL,)}
 
 results = {"beam5": rel_err(jax.jit(lambda x: search.compute_indexes(
     params, config, x, refine_indexes_iters=5, search="beam"))(x))}
