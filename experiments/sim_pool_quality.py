@@ -44,7 +44,24 @@ def rel_err(indexes):
     return float(jnp.sum((recon - x) ** 2)) / denom
 
 
-def pool_pass(x, indexes, M, R, mask):
+def quantize_e(E, e_dtype):
+    """Emulate storing the error buffer in a reduced dtype between steps.
+
+    bf16: round-to-nearest bf16.  int8: per-(frame,candidate) symmetric
+    scale from the running max-abs (the kernel would carry the scale in a
+    side column).  Screens the cumulative requantization error the kernel
+    would see if E lived in int8 VMEM (possible once the select-tree
+    reorder replaced dynamic_gather, which only moves f32/int32)."""
+    if e_dtype == "f32":
+        return E
+    if e_dtype == "bf16":
+        return E.astype(jnp.bfloat16).astype(jnp.float32)
+    assert e_dtype == "int8"
+    s = jnp.max(jnp.abs(E), axis=-1, keepdims=True) / 127.0
+    return jnp.round(E / jnp.maximum(s, 1e-30)) * s
+
+
+def pool_pass(x, indexes, M, R, mask, e_dtype="f32"):
     """One sweep; mask[t] False => R1 step (no cross-parent pool).
 
     Matches the kernel's pass structure: every pass re-seeds the beam from
@@ -80,17 +97,17 @@ def pool_pass(x, indexes, M, R, mask):
             j = jnp.argmin(S, axis=-1)  # (B, m)
             parent = jnp.broadcast_to(jnp.arange(m)[None], (B, m))
         E_par = jnp.take_along_axis(E_t, parent[:, :, None], axis=1)
-        E = E_par + centers[t][j]
+        E = quantize_e(E_par + centers[t][j], e_dtype)
         ch_par = jnp.take_along_axis(chosen, parent[:, :, None], axis=1)
         chosen = ch_par.at[:, :, t].set(j)
     return E, chosen
 
 
-def run_cfg(x, M, R, passes, masks):
+def run_cfg(x, M, R, passes, masks, e_dtype="f32"):
     logits = search.compute_logits(params, config, x)
     idx = jnp.argmax(logits, -1).astype(jnp.int32)
     for p in range(passes):
-        E, chosen = pool_pass(x, idx, M, R, masks[p])
+        E, chosen = pool_pass(x, idx, M, R, masks[p], e_dtype)
         best = jnp.argmin(jnp.sum(E * E, axis=-1), axis=-1)
         idx = jnp.take_along_axis(chosen, best[:, None, None], axis=1)[:, 0, :]
     return idx
@@ -119,15 +136,20 @@ names = sys.argv[3:] or [
 for name in names:
     parts = name.split(":")
     M = R = p = None
+    ed = "f32"
     for fl in parts[1:]:
-        if fl and fl[0] in "mrp" and fl[1:].isdigit():
+        if fl == "ebf":
+            ed = "bf16"
+        elif fl == "ei8":
+            ed = "int8"
+        elif fl and fl[0] in "mrp" and fl[1:].isdigit():
             M = int(fl[1:]) if fl[0] == "m" else M
             R = int(fl[1:]) if fl[0] == "r" else R
             p = int(fl[1:]) if fl[0] == "p" else p
     M, R, p = M or 8, R or 4, p or 3
     masks = SCHED[parts[0]](p)
-    r = rel_err(jax.jit(lambda x, M=M, R=R, p=p, ms=masks: run_cfg(
-        x, M, R, p, ms))(x))
+    r = rel_err(jax.jit(lambda x, M=M, R=R, p=p, ms=masks, ed=ed: run_cfg(
+        x, M, R, p, ms, ed))(x))
     results[name] = r
     print(f"{name:15s} {r:.5f}  (+{100 * (r / results['beam5'] - 1):.2f}%)",
           flush=True)
