@@ -34,7 +34,7 @@ q = load_quantizer(HERE / f"q{dim}_{bpf}_full.npz")
 params, config = q.params, q.config
 
 sampler = make_mlp_sampler(dim, jax.random.PRNGKey(42))
-x = sampler(jax.random.PRNGKey(7), 8192)
+x = sampler(jax.random.PRNGKey(7), int(os.environ.get("QTPU_SIM_B", 8192)))
 centers = core.scaled_centers(params, config.scale_speed)
 nc, cs, D = centers.shape
 data_mean = jnp.mean(centers, axis=1).sum(axis=0)
@@ -99,7 +99,7 @@ def seqbeam_pass_gram(x, indexes, M, R, pool_steps, G, XC):
             G[t, t][None, None], i_cur[:, :, None, None], axis=2
         )[:, :, 0, :]  # (B, m, cs) rows Gtt[i, :]
         Ew = cross + gtt_i
-        S = ss - 2.0 * Ew + cs_sumsq[t][None, None, :]
+        S = ss[:, :, None] - 2.0 * Ew + cs_sumsq[t][None, None, :]
         if m == 1:
             flat = S.reshape(B, m * cs)
             vals, sel = jax.lax.approx_min_k(flat, M, recall_target=1.0)
