@@ -89,17 +89,31 @@ def seqbeam_pass_gram(x, indexes, M, R, pool_steps, G, XC):
             axis=2,
         )  # (B, m, cs)
         i_cur = ch[:, :, t]  # (B, m)
-        cross = XC[:, None, t, :] - SG  # = F.w_t(j) - Gtt[i,j]... see below
-        # S(j) = ss - 2 E.w(j) + csq(j); E.w(j) = XC_t[j] - SG(j) + Gtt[i,j]
-        # and SG already includes the s=t term G_tt[i, j], so
-        # E.w(j) = cross(j) + 2*Gtt[i,j]?  No: SG's s=t term IS Gtt[i,j],
-        # so XC - SG = x.w - sum_{s!=t} G[s,t][ch_s] - Gtt[i,j]
-        #            = (F + w_t(i)).w_t(j) - Gtt[i,j] = E.w(j) - Gtt[i,j].
+        # With F = sum_s w_s(ch_s) - x (carried ss = ||F||^2):
+        #   S(j) = ||F - w_t(i) + w_t(j)||^2
+        #        = ss + [-2 F.w_t(i) + csq[i]]          (per-candidate const)
+        #          + 2 F.w_t(j) - 2 w_t(i).w_t(j) + csq[j]
+        # and F.w_t(j) = SG(j) - XC(j).  The bracketed constant cancels
+        # within one parent's j-ranking but NOT across parents — dropping
+        # it corrupts every cross-parent pool comparison and the carried
+        # scores (measured +7.7% rel err at f32!); the kernel's E-buffer
+        # path computes it as (-2 Ec - ccn) via _gather_lane256 and the
+        # v3 kernel would do the same lane gathers on the assembled rows.
         gtt_i = jnp.take_along_axis(
             G[t, t][None, None], i_cur[:, :, None, None], axis=2
         )[:, :, 0, :]  # (B, m, cs) rows Gtt[i, :]
-        Ew = cross + gtt_i
-        S = ss[:, :, None] - 2.0 * Ew + cs_sumsq[t][None, None, :]
+        xc_t = jnp.broadcast_to(XC[:, None, t, :], SG.shape)  # (B, m, cs)
+        sg_i = jnp.take_along_axis(SG, i_cur[:, :, None], axis=-1)
+        xc_i = jnp.take_along_axis(xc_t, i_cur[:, :, None], axis=-1)
+        csq_i = cs_sumsq[t][i_cur][:, :, None]
+        corr = -2.0 * (sg_i - xc_i) + csq_i  # (B, m, 1)
+        S = (
+            ss[:, :, None]
+            + corr
+            + 2.0 * (SG - xc_t)
+            - 2.0 * gtt_i
+            + cs_sumsq[t][None, None, :]
+        )
         if m == 1:
             flat = S.reshape(B, m * cs)
             vals, sel = jax.lax.approx_min_k(flat, M, recall_target=1.0)
