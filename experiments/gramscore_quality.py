@@ -62,6 +62,25 @@ def make_gram(gdtype):
         amax = jnp.max(jnp.abs(g), axis=-1, keepdims=True)
         scale = jnp.where(amax > 0, amax / 127.0, 1.0)
         return jnp.round(g / scale).astype(jnp.int8).astype(jnp.float32) * scale
+    if gdtype == "int8st":
+        # per-(s,t)-table scale: a real int8 MXU path descales AFTER each
+        # per-source-codebook matmul (nc matmuls per step, f32 accumulate)
+        amax = jnp.max(jnp.abs(g), axis=(-2, -1), keepdims=True)
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        return jnp.round(g / scale).astype(jnp.int8).astype(jnp.float32) * scale
+    if gdtype == "int8gg":
+        # ONE global scale for the whole Gram matrix: the kernel can then
+        # run entirely in scale-divided units (XC and ss0 pre-divided on
+        # the XLA side) with no in-kernel scale plumbing at all
+        amax = jnp.max(jnp.abs(g))
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        return jnp.round(g / scale).astype(jnp.int8).astype(jnp.float32) * scale
+    if gdtype == "int8t":
+        # single scale per target codebook t: ONE fused (M*B, nc*cs)@(nc*cs,
+        # cs) int8 matmul per step with one descale of the int32 result
+        amax = jnp.max(jnp.abs(g), axis=(0, -2, -1), keepdims=True)
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        return jnp.round(g / scale).astype(jnp.int8).astype(jnp.float32) * scale
     return g.astype(gdtype).astype(jnp.float32)
 
 
@@ -160,9 +179,11 @@ XC = jnp.einsum(
 )  # (B, nc, cs), bf16 inputs like the kernel's XLA-side precompute
 
 M, R = 8, 4
-for gname in ("float32", "bfloat16", "int8"):
+names = sys.argv[3].split(",") if len(sys.argv) > 3 else (
+    "float32", "bfloat16", "int8")
+for gname in names:
     G = make_gram(jnp.float32 if gname == "float32" else
-                  bf16 if gname == "bfloat16" else "int8")
+                  bf16 if gname == "bfloat16" else gname)
     for sname, sched in (("altparity", ALT), ("allpool", (ALL, ALL, ALL))):
         e = rel_err(jax.jit(lambda x, s=sched, G=G: encode_gram(
             x, M, R, s, G, XC))(x))
@@ -170,5 +191,7 @@ for gname in ("float32", "bfloat16", "int8"):
         print(f"gram-{gname:9s} {sname:10s} {e:.5f}  "
               f"({100*(e/ref-1):+.2f}%)", flush=True)
 
-(HERE / f"gramscore_quality_d{dim}_b{bpf}.json").write_text(
-    json.dumps(dict(dim=dim, bpf=bpf, M=M, R=R, **results)))
+out = HERE / f"gramscore_quality_d{dim}_b{bpf}.json"
+prev = json.loads(out.read_text()) if out.exists() else {}
+prev.update(dict(dim=dim, bpf=bpf, M=M, R=R, **results))
+out.write_text(json.dumps(prev))

@@ -82,6 +82,36 @@ def SEQBEAM_SUPPORTED(config: QuantizerConfig) -> bool:
     )
 
 
+def _normalize_pool_mask(pool_mask, nc: int, passes: int):
+    """Normalize a pool/R1 step schedule to a per-pass tuple of
+    per-codebook bool tuples.  ``None`` passes through (callers decide the
+    all-pool default).  Accepts named schedules ("altparity" — pool even
+    codebooks on even passes / odd on odd; "allfirst"/"alllast" — one
+    all-pool pass first/last, parity-masked otherwise), one per-codebook
+    tuple (applied to every pass), or explicit per-pass tuples."""
+    if pool_mask is None:
+        return None
+    if isinstance(pool_mask, str):
+        even = tuple(t % 2 == 0 for t in range(nc))
+        odd = tuple(t % 2 == 1 for t in range(nc))
+        alt = tuple(even if p % 2 == 0 else odd for p in range(passes))
+        if pool_mask == "altparity":
+            return alt
+        if pool_mask == "allfirst":
+            return ((True,) * nc,) + alt[: passes - 1]
+        if pool_mask == "alllast":
+            return alt[: passes - 1] + ((True,) * nc,)
+        raise ValueError(f"unknown pool_mask schedule {pool_mask!r}")
+    if isinstance(pool_mask[0], (tuple, list)):
+        pm = tuple(tuple(bool(b) for b in m) for m in pool_mask)
+        assert len(pm) == passes, (pm, passes)
+        assert all(len(m) == nc for m in pm), (pm, nc)
+        return pm
+    pm = tuple(bool(b) for b in pool_mask)
+    assert len(pm) == nc, (pm, nc)
+    return (pm,) * passes
+
+
 def _encode_scores(s: jax.Array, lanes: jax.Array) -> jax.Array:
     """Pack the lane index into the 8 low mantissa bits of a non-negative
     f32 score.  Bit order of non-negative IEEE floats is value order, so a
@@ -1122,27 +1152,11 @@ def seqbeam_encode_indexes(
     assert impl == "v2" or e_dtype == "f32", (impl, e_dtype)
     if pool_mask is not None:
         assert impl == "v2", "pool_mask requires impl='v2'"
-        if isinstance(pool_mask, str):
-            nc_ = config.num_codebooks
-            if pool_mask == "altparity":
-                # pool even codebooks on even passes, odd codebooks on odd
-                # passes: half the pool steps, measured +0.96% vs beam-5 at
-                # M8R4p3 on the dim=512/8B flagship
-                # (experiments/pool_schedule2_d512_b8.json)
-                even = tuple(t % 2 == 0 for t in range(nc_))
-                odd = tuple(t % 2 == 1 for t in range(nc_))
-                pool_mask = tuple(
-                    even if p % 2 == 0 else odd for p in range(passes)
-                )
-            else:
-                raise ValueError(f"unknown pool_mask schedule {pool_mask!r}")
-        if isinstance(pool_mask[0], (tuple, list)):  # per-pass schedules
-            pool_mask = tuple(tuple(bool(b) for b in m) for m in pool_mask)
-            assert len(pool_mask) == passes, (pool_mask, passes)
-            assert all(len(m) == config.num_codebooks for m in pool_mask)
-        else:
-            pool_mask = tuple(bool(b) for b in pool_mask)
-            assert len(pool_mask) == config.num_codebooks, (pool_mask, config)
+        # "altparity" measured +0.96% vs beam-5 at M8R4p3 on the
+        # dim=512/8B flagship (experiments/pool_schedule2_d512_b8.json)
+        pool_mask = _normalize_pool_mask(
+            pool_mask, config.num_codebooks, passes
+        )
     nc, cs, D = config.num_codebooks, config.codebook_size, config.dim
     B = x.shape[0]
     B_pad = -(-B // block_b) * block_b
