@@ -10,6 +10,10 @@ run() {
   echo "=== $* $(date +%H:%M:%S) ===" >> "$LOG"
   timeout 1500 python experiments/maskbench.py 8192 512 8 "$@" >> "$LOG" 2>&1
 }
+# 0. v3 Gram-table kernel (ops/gramv3.py): the no-E-buffer candidate.
+#    Quality screened: bf16 allpool +0.86%, int8 global-scale +0.95%
+#    (gramscore_quality_d512_b8.json).  int8 first — it's the 2x-MXU path.
+run allpool:128:1:v3i8 allpool:128:1:v3 allpool:256:1:v3i8
 # 1. reorder A/B at the current default config (M8R4p3 altparity)
 run altparity:128:1 altparity:128:1:sel altparity:128:1:wsel
 # 2. bf16 E on the select variants (halved reorder/extension traffic)
@@ -34,6 +38,7 @@ run256() {
   echo "=== d256 $* $(date +%H:%M:%S) ===" >> "$LOG"
   timeout 1500 python experiments/maskbench.py 8192 256 4 "$@" >> "$LOG" 2>&1
 }
-run256 altparity:256:2:p2 allpool:128:1:sel:ebf:m32:r4:p1 \
+run256 allpool:128:1:v3i8:p2 altparity:256:2:p2 \
+       allpool:128:1:sel:ebf:m32:r4:p1 \
        allpool:128:1:sel:ebf:m32:r2:p2 allpool:128:1:sel:ebf:m16:r2:p2
 echo "DONE $(date +%H:%M:%S)" >> "$LOG"

@@ -170,7 +170,9 @@ results = {"beam5": ref}
 EVEN = tuple(t % 2 == 0 for t in range(nc))
 ODD = tuple(t % 2 == 1 for t in range(nc))
 ALL = (True,) * nc
-ALT = (EVEN, ODD, EVEN)
+# flagship pass counts: 3 at dim=512/8B, 2 at dim=256/4B
+npass = 3 if nc >= 8 else 2
+ALT = tuple((EVEN, ODD)[i % 2] for i in range(npass))
 XC = jnp.einsum(
     "bd,ntd->bnt",
     x.astype(bf16),
@@ -184,7 +186,7 @@ names = sys.argv[3].split(",") if len(sys.argv) > 3 else (
 for gname in names:
     G = make_gram(jnp.float32 if gname == "float32" else
                   bf16 if gname == "bfloat16" else gname)
-    for sname, sched in (("altparity", ALT), ("allpool", (ALL, ALL, ALL))):
+    for sname, sched in (("altparity", ALT), ("allpool", (ALL,) * npass)):
         e = rel_err(jax.jit(lambda x, s=sched, G=G: encode_gram(
             x, M, R, s, G, XC))(x))
         results[f"gram-{gname} {sname}"] = e

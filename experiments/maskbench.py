@@ -53,7 +53,8 @@ for name in names:
     # name syntax: sched[:block_b[:interleave[:flag...]]]
     # flags: xv = cross_value, sel = reorder="select",
     #        wsel = reorder="wideselect", ebf = e_dtype="bf16",
-    #        m<N>/r<N>/p<N> = M/R/passes
+    #        m<N>/r<N>/p<N> = M/R/passes,
+    #        v3 = gramv3 kernel (bf16 tables), v3i8 = gramv3 int8 tables
     parts = name.split(":")
     mask = SCHED[parts[0]]
     bb = int(parts[1]) if len(parts) > 1 else 128
@@ -72,10 +73,19 @@ for name in names:
     M, R, p = M or 8, R or 4, p or 3
     if isinstance(mask, tuple) and isinstance(mask[0], tuple) and len(mask) != p:
         mask = tuple(mask[i % len(mask)] for i in range(p))
-    f = jax.jit(lambda x, m=mask, bb=bb, il=il, xv=xv, ro=ro, M=M, R=R,
-                p=p, ed=ed: seqbeam.seqbeam_encode_indexes(
-        params, cfg, x, M=M, R=R, passes=p, pool_mask=m, block_b=bb,
-        interleave=il, cross_value=xv, reorder=ro, e_dtype=ed))
+    if "v3" in flags or "v3i8" in flags:
+        from quantization_tpu.ops.gramv3 import gramv3_encode_indexes
+
+        gd = "int8" if "v3i8" in flags else "bf16"
+        f = jax.jit(lambda x, m=mask, bb=bb, M=M, R=R, p=p, gd=gd:
+                    gramv3_encode_indexes(
+            params, cfg, x, M=M, R=R, passes=p, pool_mask=m, block_b=bb,
+            g_dtype=gd))
+    else:
+        f = jax.jit(lambda x, m=mask, bb=bb, il=il, xv=xv, ro=ro, M=M, R=R,
+                    p=p, ed=ed: seqbeam.seqbeam_encode_indexes(
+            params, cfg, x, M=M, R=R, passes=p, pool_mask=m, block_b=bb,
+            interleave=il, cross_value=xv, reorder=ro, e_dtype=ed))
     try:
         t0 = time.perf_counter()
         dt = fetch_time(f)

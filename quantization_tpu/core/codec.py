@@ -76,6 +76,10 @@ def encode(
         measured +0.67% vs "beam" at 5 iters and ~25% faster than plain
         "seqbeam" at equal sweep count).
       * "cd": exact coordinate descent alone (fastest, ~12% worse rel err).
+      * "gramv3": the Gram-table kernel (ops/gramv3.py) — no per-candidate
+        error buffer, one matmul per codebook step; ``g_dtype="int8"``
+        targets the int8 MXU peak (quality screened at +0.95% vs beam-5,
+        experiments/gramscore_quality_d512_b8.json).
     """
     import re
 
@@ -119,6 +123,17 @@ def encode(
                     "the kwargs"
                 )
             search_method = "beam"
+    if search_method == "gramv3":
+        # v3 Gram-table kernel (ops/gramv3.py): no per-candidate error
+        # buffer; any dim, codebook_size=256, nc <= 8
+        from ..ops.gramv3 import gramv3_encode_indexes
+
+        indexes = gramv3_encode_indexes(
+            params, config, x2, passes=refine_indexes_iters, **search_kwargs
+        )
+        if as_bytes:
+            indexes = pack_indexes(indexes, config.codebook_size)
+        return indexes.reshape(*lead, -1)
     warm = re.fullmatch(r"cd(\d+)\+seqbeam", search_method)
     if search_method == "seqbeam" or warm:
         from ..ops.seqbeam import seqbeam_encode_indexes

@@ -380,3 +380,198 @@ def test_kernel_nc16_interpret():
     centers = core.scaled_centers(params, config.scale_speed)
     i0 = search.compute_indexes(params, config, x, 0)
     assert _err(centers, x, out).mean() <= _err(centers, x, i0).mean()
+
+
+class TestGramV3:
+    """The v3 Gram-table kernel (ops/gramv3.py): no per-candidate error
+    buffer; scores come from a precomputed Gram matrix with csq/2 diagonal
+    blocks.  Selection semantics are shared with v2."""
+
+    def test_matches_numpy_mirror(self):
+        """Bit-exact agreement with a NumPy implementation of the kernel's
+        exact semantics at nc=2 (where the one-hot Gram matmul has two
+        nonzero products per output, so the MXU's f32 accumulation order
+        cannot differ from NumPy's), covering both table dtypes, pool and
+        R1 steps, the packed-parent pool, and the per-pass winner restart."""
+        from quantization_tpu.ops.gramv3 import gramv3_encode_indexes
+
+        config, params, x = _setup(jax.random.PRNGKey(30), 128, 256, 2, B=64)
+        nc, cs = 2, 256
+        M, R, passes = 8, 2, 2
+        pool_mask = ((True, True), (True, False))  # one R1 step in pass 2
+        LM = 255
+
+        centers = core.scaled_centers(params, config.scale_speed)
+        ctab = centers.reshape(nc * cs, 128).astype(jnp.bfloat16)
+        csq = jnp.sum(
+            centers.astype(jnp.bfloat16).astype(jnp.float32) ** 2, axis=-1
+        )
+        # replicate the wrapper's XLA-side precomputes with jnp (identical
+        # expressions), then run the step loop in NumPy
+        g = jnp.dot(ctab, ctab.T, preferred_element_type=jnp.float32)
+        blk = jnp.repeat(jnp.arange(nc), cs)
+        eye = (blk[:, None] == blk[None, :]).astype(jnp.float32)
+        gtil_f32 = g * (1.0 - eye) + eye * (csq.reshape(nc * cs) / 2.0)[None, :]
+        xc = jnp.dot(
+            x.astype(jnp.bfloat16), ctab.T, preferred_element_type=jnp.float32
+        )
+        logits = search.compute_logits(params, config, x)
+        init = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        recon0 = jnp.take_along_axis(
+            centers[None], init[:, :, None, None], axis=2
+        )[:, :, 0, :].sum(axis=1)
+        ss0 = jnp.sum((recon0 - x) ** 2, axis=-1, keepdims=True)
+
+        for g_dtype in ("bf16", "int8"):
+            if g_dtype == "int8":
+                amax = jnp.max(jnp.abs(gtil_f32))
+                scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+                gq = jnp.round(gtil_f32 / scale).astype(jnp.int8)
+                gtab = np.asarray(gq, np.int32)  # int32 row sums == int8 MXU
+                xcn = np.asarray(xc * (1.0 / scale), np.float32)
+                ssn = np.asarray(ss0 * (1.0 / scale), np.float32)
+            else:
+                gtab = np.asarray(
+                    gtil_f32.astype(jnp.bfloat16).astype(jnp.float32),
+                    np.float32,
+                )
+                xcn = np.asarray(xc, np.float32)
+                ssn = np.asarray(ss0, np.float32)
+            B = 64
+            sol = np.asarray(init, np.int32)  # (B, nc)
+            ss_root = ssn[:, 0].copy()  # (B,)
+            lanes_cs = np.arange(cs, dtype=np.int32)[None, :]
+
+            def enc_pack(sv, lanes):
+                bits = np.maximum(sv, 0.0).astype(np.float32).view(np.int32)
+                return ((bits & ~LM) | lanes).view(np.float32)
+
+            for p in range(passes):
+                mask = pool_mask[p]
+                for t in range(nc):
+                    if t == 0:
+                        rows = sum(
+                            gtab[s * cs + sol[:, s]] for s in range(nc)
+                        ).astype(np.float32)
+                        Q0 = 2.0 * (
+                            rows[:, t * cs : (t + 1) * cs]
+                            - xcn[:, t * cs : (t + 1) * cs]
+                        )
+                        Qi = Q0[np.arange(B), sol[:, t]]
+                        S0 = (ss_root - Qi)[:, None] + Q0
+                        enc = enc_pack(
+                            S0, np.broadcast_to(lanes_cs, (B, cs)).copy()
+                        )
+                        j = np.zeros((B, M), np.int32)
+                        vals = np.zeros((B, M), np.float32)
+                        for m in range(M):
+                            emin = enc.min(axis=1)
+                            bits = emin.view(np.int32)
+                            j[:, m] = bits & LM
+                            vals[:, m] = (bits & ~LM).view(np.float32)
+                            enc[enc == emin[:, None]] = 1e30
+                        chosen = np.repeat(sol[:, None, :], M, axis=1)
+                        chosen[:, :, t] = j
+                        ss = vals  # (B, M)
+                        continue
+                    # full rescore for all M candidates
+                    rows = np.zeros((B, M, cs), np.float32)
+                    for m in range(M):
+                        r = sum(
+                            gtab[s * cs + chosen[:, m, s]] for s in range(nc)
+                        ).astype(np.float32)
+                        rows[:, m] = r[:, t * cs : (t + 1) * cs]
+                    Q = 2.0 * (rows - xcn[:, None, t * cs : (t + 1) * cs])
+                    Qi = np.take_along_axis(
+                        Q, chosen[:, :, t][:, :, None], axis=2
+                    )[:, :, 0]
+                    S = (ss - Qi)[:, :, None] + Q  # (B, M, cs)
+                    if not mask[t]:
+                        # R1: one packed round per parent, in place
+                        enc = enc_pack(
+                            S.reshape(B * M, cs),
+                            np.broadcast_to(lanes_cs, (B * M, cs)).copy(),
+                        )
+                        emin = enc.min(axis=1)
+                        bits = emin.view(np.int32)
+                        chosen[:, :, t] = (bits & LM).reshape(B, M)
+                        ss = (bits & ~LM).view(np.float32).reshape(B, M)
+                        continue
+                    # pool: R packed rounds per parent, then M pool rounds
+                    vRe = np.zeros((B, M, R), np.float32)
+                    enc = enc_pack(
+                        S.reshape(B * M, cs),
+                        np.broadcast_to(lanes_cs, (B * M, cs)).copy(),
+                    )
+                    for r in range(R):
+                        emin = enc.min(axis=1)
+                        vRe[:, :, r] = emin.reshape(B, M)
+                        enc[enc == emin[:, None]] = 1e30
+                    pool0 = vRe.reshape(B, M * R)  # lane = m*R + r
+                    mbits = (M - 1) << 8
+                    lanes_p = np.arange(M * R, dtype=np.int32)[None, :]
+                    mconst = (lanes_p // R) << 8
+                    penc = (
+                        (pool0.view(np.int32) & ~mbits) | mconst
+                    ).view(np.float32)
+                    parent = np.zeros((B, M), np.int32)
+                    jj = np.zeros((B, M), np.int32)
+                    vals = np.zeros((B, M), np.float32)
+                    for m in range(M):
+                        emin = penc.min(axis=1)
+                        bits = emin.view(np.int32)
+                        jj[:, m] = bits & LM
+                        parent[:, m] = (bits >> 8) & (M - 1)
+                        vals[:, m] = (bits & ~(mbits | LM)).view(np.float32)
+                        penc[penc == emin[:, None]] = 1e30
+                    chosen = np.take_along_axis(
+                        chosen, parent[:, :, None], axis=1
+                    )
+                    chosen[:, :, t] = jj
+                    ss = vals
+                # pass end: winner via packed m-id min
+                lanes_m = np.arange(M, dtype=np.int32)[None, :]
+                encm = enc_pack(ss, np.broadcast_to(lanes_m, (B, M)).copy())
+                emin = encm.min(axis=1)
+                bits = emin.view(np.int32)
+                best = bits & LM
+                ss_root = (bits & ~LM).view(np.float32)
+                sol = chosen[np.arange(B), best, :]
+
+            out = gramv3_encode_indexes(
+                params, config, x, M=M, R=R, passes=passes,
+                pool_mask=pool_mask, g_dtype=g_dtype, block_b=64,
+                interpret=True,
+            )
+            assert (np.asarray(out) == sol).all(), g_dtype
+
+    def test_quality_matches_v2(self):
+        """Same selection semantics, different scoring arithmetic: the v3
+        reconstruction error must track the v2 kernel closely at both
+        table dtypes, and the supported-gate covers any dim."""
+        from quantization_tpu.ops.gramv3 import (
+            GRAMV3_SUPPORTED, gramv3_encode_indexes)
+
+        config, params, x = _setup(jax.random.PRNGKey(31), 128, 256, 4, B=64)
+        centers = core.scaled_centers(params, config.scale_speed)
+        o2 = seqbeam_encode_indexes(params, config, x, M=8, R=4, passes=2,
+                                    interpret=True, block_b=64)
+        e2 = _err(centers, x, o2).sum()
+        for g_dtype in ("bf16", "int8"):
+            o3 = gramv3_encode_indexes(params, config, x, M=8, R=4, passes=2,
+                                       g_dtype=g_dtype, block_b=64,
+                                       interpret=True)
+            e3 = _err(centers, x, o3).sum()
+            assert abs(e3 - e2) / e2 < 5e-3, (g_dtype, e2, e3)
+        # dim is unconstrained for v3 (no error buffer): 96 is not a
+        # multiple of 128 and is rejected by the v2 gate
+        cfg96 = core.QuantizerConfig(dim=96, codebook_size=256,
+                                     num_codebooks=2)
+        assert GRAMV3_SUPPORTED(cfg96) and not SEQBEAM_SUPPORTED(cfg96)
+        p96 = core.init_quantizer_params(jax.random.PRNGKey(32), cfg96)
+        x96 = jax.random.normal(jax.random.PRNGKey(33), (64, 96))
+        o96 = gramv3_encode_indexes(p96, cfg96, x96, M=8, R=2, passes=1,
+                                    block_b=64, interpret=True)
+        c96 = core.scaled_centers(p96, cfg96.scale_speed)
+        i0 = search.compute_indexes(p96, cfg96, x96, 0)
+        assert _err(c96, x96, o96).mean() <= _err(c96, x96, i0).mean()
