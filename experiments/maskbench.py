@@ -77,10 +77,10 @@ for name in names:
         from quantization_tpu.ops.gramv3 import gramv3_encode_indexes
 
         gd = "int8" if "v3i8" in flags else "bf16"
-        f = jax.jit(lambda x, m=mask, bb=bb, M=M, R=R, p=p, gd=gd:
+        f = jax.jit(lambda x, m=mask, bb=bb, il=il, M=M, R=R, p=p, gd=gd:
                     gramv3_encode_indexes(
             params, cfg, x, M=M, R=R, passes=p, pool_mask=m, block_b=bb,
-            g_dtype=gd))
+            interleave=il, g_dtype=gd))
     else:
         f = jax.jit(lambda x, m=mask, bb=bb, il=il, xv=xv, ro=ro, M=M, R=R,
                     p=p, ed=ed: seqbeam.seqbeam_encode_indexes(

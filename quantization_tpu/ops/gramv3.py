@@ -96,10 +96,12 @@ def _gramv3_kernel(
     passes: int,
     pool_mask: tuple | None,
     g_dtype: str,
+    SUBT: int = 1,
 ):
     assert cs == 256 and nc * cs <= 2048
     assert M & (M - 1) == 0 and 8 <= M <= 64 and M * R <= 256
-    B_s = B_t  # single sub-tile (v3 steps are already matmul-dominated)
+    assert B_t % SUBT == 0, (B_t, SUBT)
+    B_s = B_t // SUBT
     K = nc * cs
     f32 = jnp.float32
     lane_128 = jax.lax.broadcasted_iota(jnp.int32, (B_s, 128), 1)
@@ -169,55 +171,73 @@ def _gramv3_kernel(
             bit <<= 1
         return level[0]
 
-    xc = xc_ref[:]  # (B_s, K) f32
+    # ---- per-sub-tile root state.  With SUBT=2 the two sub-tiles' steps
+    # are emitted phase-zipped (s0.matmul, s1.matmul, s0.select, s1.select)
+    # so each sub-tile's independent VPU selection sits next to the other's
+    # MXU matmul in program order.  Per-frame semantics are identical to
+    # SUBT=1 (asserted in tests).
+    xc_all = xc_ref[:]  # (B_t, K) f32
+    init_all = init_ref[:]
+    ss0_all = ss0_ref[:]
+    subs = []
+    for u in range(SUBT):
+        subs.append(
+            {
+                "xc": jax.lax.slice(
+                    xc_all, (u * B_s, 0), ((u + 1) * B_s, K)
+                ),
+                "sol": jax.lax.slice(
+                    init_all, (u * B_s, 0), ((u + 1) * B_s, 128)
+                ),
+                "ss_root": jax.lax.slice(
+                    ss0_all, (u * B_s, 0), ((u + 1) * B_s, 1)
+                ),
+                "tc": None,  # (M*B_s, 128) candidate index rows
+                "ss": None,  # (M*B_s, 1) carried ||F||^2
+            }
+        )
 
-    def xc_t(t):
-        return jax.lax.slice(xc, (0, t * cs), (B_s, (t + 1) * cs))
+    def step_phases(st, t, pool, first):
+        def xc_t():
+            return jax.lax.slice(
+                st["xc"], (0, t * cs), (B_s, (t + 1) * cs)
+            )
 
-    # ---- root state
-    sol = init_ref[:]  # (B_s, 128)
-    ss_root = ss0_ref[:]  # (B_s, 1)
+        def ph0():  # one-hot build + the step's single matmul
+            if first:
+                return mm_sg(onehot_rows(st["sol"], lane_128), t)
+            return mm_sg(onehot_rows(st["tc"], lane_128_full), t)
 
-    tc = None  # (M*B_s, 128) candidate index rows
-    ss_col = None  # (M*B_s, 1) carried ||F||^2
-
-    for p in range(passes):
-        mask = pool_mask[p]
-        for t in range(nc):
-            first = t == 0
-            pool = bool(mask[t]) and not first
+        def ph1(SG):  # assembly, selection, index-row reorder
             if first:
                 # M-way fan-out from the single root candidate: 1/M of a
                 # full rescore
-                oh0 = onehot_rows(sol, lane_128)  # (B_s, K)
-                Q0 = 2.0 * (mm_sg(oh0, t) - xc_t(t))  # (B_s, cs)
-                i0 = extract_lane(sol, lane_128, t)
-                S0 = (ss_root - _gather_lane256(Q0, i0)) + Q0
+                Q0 = 2.0 * (SG - xc_t())  # (B_s, cs)
+                i0 = extract_lane(st["sol"], lane_128, t)
+                S0 = (st["ss_root"] - _gather_lane256(Q0, i0)) + Q0
                 picks = folded_rounds(S0, M)
-                ss_col = jnp.concatenate([v for v, _, _ in picks], axis=0)
-                tc = jnp.concatenate(
+                st["ss"] = jnp.concatenate([v for v, _, _ in picks], axis=0)
+                st["tc"] = jnp.concatenate(
                     [
-                        jnp.where(lane_128 == t, pos, sol)
+                        jnp.where(lane_128 == t, pos, st["sol"])
                         for _, pos, _ in picks
                     ],
                     axis=0,
                 )  # (M*B_s, 128)
-                continue
+                return
 
-            oh = onehot_rows(tc, lane_128_full)  # (M*B_s, K)
             Q = 2.0 * (
-                mm_sg(oh, t)
-                - jnp.concatenate([xc_t(t)] * M, axis=0)
+                SG - jnp.concatenate([xc_t()] * M, axis=0)
             )  # (M*B_s, cs)
-            i_col = extract_lane(tc, lane_128_full, t)
-            S = (ss_col - _gather_lane256(Q, i_col)) + Q
+            i_col = extract_lane(st["tc"], lane_128_full, t)
+            S = (st["ss"] - _gather_lane256(Q, i_col)) + Q
 
             if not pool:
                 # R1: best child per parent, slot order kept, no reorder
                 val, pos, _ = folded_rounds(S, 1)[0]  # (M*B_s, 1)
-                ss_col = val
-                tc = jnp.where(lane_128_full == t, pos, tc)
-                continue
+                st["ss"] = val
+                st["tc"] = jnp.where(lane_128_full == t, pos, st["tc"])
+                return
 
             # ---- pool selection: top-R per parent, exact top-M of the
             # M*R pool with the parent id packed above the lane bits
@@ -243,7 +263,7 @@ def _gramv3_kernel(
                 v_cols.append(
                     pltpu.bitcast(bits & ~(mbits | _LANE_MASK), jnp.float32)
                 )
-            ss_col = jnp.concatenate(v_cols, axis=0)  # (M*B_s, 1)
+            st["ss"] = jnp.concatenate(v_cols, axis=0)  # (M*B_s, 1)
 
             # ---- index-row beam reorder: one select tree over the M
             # source blocks, all destinations at once (the (M*B_s, 128)
@@ -251,6 +271,7 @@ def _gramv3_kernel(
             # folded into the root
             pcol = jnp.concatenate(p_cols, axis=0)  # (M*B_s, 1)
             jcol = jnp.concatenate(j_cols, axis=0)  # (M*B_s, 1)
+            tc = st["tc"]
             src_blocks = [
                 jnp.concatenate(
                     [tc[m * B_s : (m + 1) * B_s, :]] * M, axis=0
@@ -258,31 +279,48 @@ def _gramv3_kernel(
                 for m in range(M)
             ]
             picked = select_tree(src_blocks, pcol)
-            tc = jnp.where(lane_128_full == t, jcol, picked)
+            st["tc"] = jnp.where(lane_128_full == t, jcol, picked)
+
+        return ph0, ph1
+
+    for p in range(passes):
+        mask = pool_mask[p]
+        for t in range(nc):
+            first = t == 0
+            pool = bool(mask[t]) and not first
+            phases = [step_phases(st, t, pool, first) for st in subs]
+            sgs = [ph0() for ph0, _ in phases]
+            for (_, ph1), sg in zip(phases, sgs):
+                ph1(sg)
 
         # ---- pass end: winner per frame via the packed m-id min
-        m_ids = jnp.concatenate(
-            [jnp.full((B_s, 1), m, jnp.int32) for m in range(M)], axis=0
-        )
-        enc_col = _encode_scores(ss_col, m_ids)  # (M*B_s, 1)
-        best_enc = enc_col[0:B_s, :]
-        for m in range(1, M):
-            best_enc = jnp.minimum(best_enc, enc_col[m * B_s : (m + 1) * B_s, :])
-        bits = pltpu.bitcast(best_enc, jnp.int32)
-        best = bits & _LANE_MASK  # (B_s, 1)
-        ss_root = pltpu.bitcast(bits & ~_LANE_MASK, jnp.float32)
-        sol = select_tree(
-            [tc[m * B_s : (m + 1) * B_s, :] for m in range(M)], best
-        )
+        for st in subs:
+            m_ids = jnp.concatenate(
+                [jnp.full((B_s, 1), m, jnp.int32) for m in range(M)], axis=0
+            )
+            enc_col = _encode_scores(st["ss"], m_ids)  # (M*B_s, 1)
+            best_enc = enc_col[0:B_s, :]
+            for m in range(1, M):
+                best_enc = jnp.minimum(
+                    best_enc, enc_col[m * B_s : (m + 1) * B_s, :]
+                )
+            bits = pltpu.bitcast(best_enc, jnp.int32)
+            best = bits & _LANE_MASK  # (B_s, 1)
+            st["ss_root"] = pltpu.bitcast(bits & ~_LANE_MASK, jnp.float32)
+            tc = st["tc"]
+            st["sol"] = select_tree(
+                [tc[m * B_s : (m + 1) * B_s, :] for m in range(M)], best
+            )
 
-    out_ref[:, :] = sol
+    for u, st in enumerate(subs):
+        out_ref[u * B_s : (u + 1) * B_s, :] = st["sol"]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "config", "M", "R", "passes", "pool_mask", "g_dtype", "block_b",
-        "interpret",
+        "interleave", "interpret",
     ),
 )
 def gramv3_encode_indexes(
@@ -295,6 +333,7 @@ def gramv3_encode_indexes(
     pool_mask=None,
     g_dtype: str = "bf16",
     block_b: int = 128,
+    interleave: int = 1,
     interpret: bool = False,
     init_indexes: jax.Array | None = None,
 ) -> jax.Array:
@@ -304,6 +343,9 @@ def gramv3_encode_indexes(
     kernel runs in scale-divided units — see module docstring).
     ``pool_mask`` accepts the same forms as the v2 kernel (None = pool on
     every step, per-step bools, per-pass tuples, or the named schedules).
+    ``interleave``: split the tile into this many sub-tiles whose step
+    phases are emitted zipped (semantics-neutral scheduling knob — one
+    sub-tile's matmul next to the other's selection in program order).
     """
     assert GRAMV3_SUPPORTED(config), (config.codebook_size,
                                       config.num_codebooks)
@@ -373,6 +415,7 @@ def gramv3_encode_indexes(
         passes=passes,
         pool_mask=mask,
         g_dtype=g_dtype,
+        SUBT=interleave,
     )
     out = pl.pallas_call(
         kernel,

@@ -575,3 +575,14 @@ class TestGramV3:
         c96 = core.scaled_centers(p96, cfg96.scale_speed)
         i0 = search.compute_indexes(p96, cfg96, x96, 0)
         assert _err(c96, x96, o96).mean() <= _err(c96, x96, i0).mean()
+
+    def test_interleave_is_semantics_neutral(self):
+        """The v3 sub-tile phase zip (interleave=2) is a pure scheduling
+        knob: outputs must be bit-identical to interleave=1."""
+        from quantization_tpu.ops.gramv3 import gramv3_encode_indexes
+
+        config, params, x = _setup(jax.random.PRNGKey(34), 128, 256, 2, B=128)
+        kw = dict(M=8, R=2, passes=2, block_b=128, interpret=True)
+        o1 = gramv3_encode_indexes(params, config, x, interleave=1, **kw)
+        o2 = gramv3_encode_indexes(params, config, x, interleave=2, **kw)
+        assert (np.asarray(o1) == np.asarray(o2)).all()
