@@ -14,6 +14,7 @@ run() {
 #    Quality screened: bf16 allpool +0.86%, int8 global-scale +0.95%
 #    (gramscore_quality_d512_b8.json).  int8 first — it's the 2x-MXU path.
 run allpool:128:1:v3i8 allpool:128:1:v3 allpool:256:1:v3i8
+run allpool:128:2:v3i8 allpool:256:2:v3i8
 # 1. reorder A/B at the current default config (M8R4p3 altparity)
 run altparity:128:1 altparity:128:1:sel altparity:128:1:wsel
 # 2. bf16 E on the select variants (halved reorder/extension traffic)
