@@ -46,16 +46,27 @@ def compute_loss(
     B = x.shape[0]
     nc, cs = config.num_codebooks, config.codebook_size
 
-    if search_method == "seqbeam":
-        from ..ops.seqbeam import seqbeam_encode_indexes
-
+    if search_method in ("seqbeam", "gramv3", "gramv3-int8"):
         # stop_gradient must be applied to the kernel's INPUTS: the Pallas
         # call has no JVP rule, and an output-side stop_gradient still lets
         # the jvp tracer reach it.
         sg = jax.lax.stop_gradient
-        indexes = seqbeam_encode_indexes(
-            sg(params), config, sg(x), passes=max(refine_indexes_iters, 1)
-        )
+        if search_method == "seqbeam":
+            from ..ops.seqbeam import seqbeam_encode_indexes
+
+            indexes = seqbeam_encode_indexes(
+                sg(params), config, sg(x), passes=max(refine_indexes_iters, 1)
+            )
+        else:
+            from ..ops.gramv3 import gramv3_encode_indexes
+
+            indexes = gramv3_encode_indexes(
+                sg(params),
+                config,
+                sg(x),
+                passes=max(refine_indexes_iters, 1),
+                g_dtype="int8" if search_method == "gramv3-int8" else "bf16",
+            )
     else:
         indexes = jax.lax.stop_gradient(
             search.compute_indexes(

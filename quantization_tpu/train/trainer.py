@@ -362,6 +362,17 @@ class QuantizerTrainer:
                 or jax.default_backend() == "tpu"
             )
             return "seqbeam" if use_kernel else "beam"
+        if self.train_search in ("gramv3", "gramv3-int8"):
+            # opt-in v3 Gram-table kernel (ops/gramv3.py) for the phase-2
+            # search; falls back to beam for unsupported configs (phase 1
+            # runs at cs=16 where no kernel applies)
+            from ..ops.gramv3 import GRAMV3_SUPPORTED
+
+            return (
+                self.train_search
+                if GRAMV3_SUPPORTED(self.config)
+                else "beam"
+            )
         return self.train_search
 
     def _lr_for_iter(self, cur_iter: int) -> float:
