@@ -586,3 +586,36 @@ class TestGramV3:
         o1 = gramv3_encode_indexes(params, config, x, interleave=1, **kw)
         o2 = gramv3_encode_indexes(params, config, x, interleave=2, **kw)
         assert (np.asarray(o1) == np.asarray(o2)).all()
+
+    def test_fori_matches_unrolled(self):
+        """The fori-loop kernel (one emitted step body per pass; Mosaic
+        program size independent of nc) must be bit-identical to the
+        unrolled kernel for every supported table dtype, interleave, and
+        per-pass-uniform schedule; mixed schedules are rejected."""
+        import pytest
+        from quantization_tpu.ops.gramv3 import gramv3_encode_indexes
+
+        config, params, x = _setup(jax.random.PRNGKey(35), 128, 256, 4, B=128)
+        nc = 4
+        for g_dtype in ("bf16", "int8"):
+            for il in (1, 2):
+                kw = dict(M=8, R=2, passes=2, block_b=64, g_dtype=g_dtype,
+                          interleave=il, interpret=True)
+                o_u = gramv3_encode_indexes(params, config, x,
+                                            loop="unroll", **kw)
+                o_f = gramv3_encode_indexes(params, config, x,
+                                            loop="fori", **kw)
+                assert (np.asarray(o_u) == np.asarray(o_f)).all(), (
+                    g_dtype, il)
+        # an all-R1 second pass is fori-eligible too
+        mask = ((True,) * nc, (False,) * nc)
+        kw = dict(M=8, R=2, passes=2, block_b=64, pool_mask=mask,
+                  interpret=True)
+        o_u = gramv3_encode_indexes(params, config, x, loop="unroll", **kw)
+        o_f = gramv3_encode_indexes(params, config, x, loop="fori", **kw)
+        assert (np.asarray(o_u) == np.asarray(o_f)).all()
+        # mixed (altparity-style) schedules cannot run under fori
+        with pytest.raises(ValueError):
+            gramv3_encode_indexes(params, config, x, loop="fori",
+                                  pool_mask="altparity", M=8, R=2, passes=2,
+                                  block_b=64, interpret=True)
