@@ -30,6 +30,19 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: the fused kernels compile in 1-7 min
+# (erratically) through the remote Mosaic helper; cache executables across
+# runs so the timed section never includes a cold compile twice.
+if not os.environ.get("QUANTIZATION_TPU_NO_CACHE"):
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "QUANTIZATION_TPU_CACHE_DIR",
+            os.path.expanduser("~/.cache/quantization_tpu_jax"),
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from quantization_tpu import core
 
 DIM = 512

@@ -87,6 +87,12 @@ _SKIP = frozenset(
     s for s in _os.environ.get("QTPU_GRAMV3_SKIP", "").split(",") if s
 )
 
+# The kernel's VMEM working set (double-buffered xcr tile + the resident
+# Gram table + one-hot/score temporaries) crosses XLA's default 16 MiB
+# scoped-vmem budget at block_b=256 on long grids; v5e has 128 MiB of VMEM,
+# so raise the per-kernel cap rather than shrink the tile.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def _pass_modes(mask, nc: int):
     """Per-pass step mode for the fori-loop kernel: "pool" if every
@@ -751,6 +757,7 @@ def gramv3_encode_indexes(
             out_specs=pl.BlockSpec((block_b, 128), lambda i: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((B_pad, 128), jnp.int32),
             interpret=interpret,
+            compiler_params=_COMPILER_PARAMS,
         )(xcr, init_pad, ss0 * inv, gtr)
         return out[:B, :nc]
 
@@ -778,5 +785,6 @@ def gramv3_encode_indexes(
         out_specs=pl.BlockSpec((block_b, 128), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((B_pad, 128), jnp.int32),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(xc * inv, init_pad, ss0 * inv, gtil)
     return out[:B, :nc]
