@@ -6,6 +6,10 @@ Schedules: allpool, altparity, even, odd, r1, third, rotthird, pass12
 import sys, pathlib, time, json
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import jax, jax.numpy as jnp, numpy as np
+import os
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/quantization_tpu_jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from quantization_tpu import core
 from quantization_tpu.ops import seqbeam
 
