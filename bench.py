@@ -12,54 +12,34 @@ local chips actually used, i.e. per-chip target = 12.5M vec/s.
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "vec/s", "vs_baseline": N}
 
+Crash isolation (round-3 redesign): a JAX process that observes a TPU
+worker crash is poisoned — every subsequent dispatch fails, including pure
+XLA ones.  So each candidate runs in its OWN subprocess
+(`python bench.py --worker NAME`), a fresh-process pure-XLA *preflight*
+distinguishes "chip unavailable" from "this kernel faults", and the
+XLA-beam fallback also gets a fresh process.  One faulting candidate can
+no longer zero the round.
+
 Methodology notes:
 * The benchmark chip may sit behind a high-latency tunnel (~25ms dispatch
-  RTT), so we queue many async dispatches and synchronize once; wall time
-  is measured around the whole pipelined stream.
-* First call compiles; compile time is excluded.
+  RTT), so workers queue many async dispatches and synchronize once; wall
+  time is measured around the whole pipelined stream.
+* First call compiles; compile time is excluded (and cached persistently —
+  Mosaic compiles through the remote helper take 1-7 min cold).
 """
 
 import json
 import os
 import pathlib
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
-import jax
-import jax.numpy as jnp
-
-# Persistent compilation cache: the fused kernels compile in 1-7 min
-# (erratically) through the remote Mosaic helper; cache executables across
-# runs so the timed section never includes a cold compile twice.
-if not os.environ.get("QUANTIZATION_TPU_NO_CACHE"):
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get(
-            "QUANTIZATION_TPU_CACHE_DIR",
-            os.path.expanduser("~/.cache/quantization_tpu_jax"),
-        ),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-from quantization_tpu import core
-
 DIM = 512
 NUM_CODEBOOKS = 8
 CODEBOOK_SIZE = 256
-# Headline search config: fused seqbeam kernel, beam width M=8, per-parent
-# top-R=4, 3 passes, "altparity" pool/R1 step schedule (pool selection on
-# even codebooks in even passes / odd in odd — half the steps run in R1
-# mode with no beam reorder), phase-zipped 2-way sub-tile interleave —
-# measured +0.96% relative reconstruction error vs the reference beam-5 on
-# the trained flagship (inside the 1% parity bar;
-# experiments/kernel_quality_d512_b8.json), no warm start needed
-# (experiments/quality_sweep_d512.log: cd0 == cd1 == cd2 at equal beam work).
-SEQBEAM_M = 8
-SEQBEAM_R = 4
-SEQBEAM_PASSES = 3
-SEQBEAM_KW = dict(pool_mask="altparity", block_b=256, interleave=2)
 BATCH = 1 << 15
 NBATCH = 8
 NORTH_STAR_PER_CHIP = 100e6 / 8.0  # v5p host target, pro-rated per chip
@@ -67,69 +47,109 @@ NORTH_STAR_PER_CHIP = 100e6 / 8.0  # v5p host target, pro-rated per chip
 # QTPU_PEAK_TFLOPS for other chip generations.
 PEAK_TFLOPS = float(os.environ.get("QTPU_PEAK_TFLOPS", "197"))
 
+# Candidate registry: name -> (search_method, refine_iters, kwargs).
+# Headline: fused seqbeam kernel, beam width M=8, per-parent top-R=4,
+# 3 passes, "altparity" pool/R1 step schedule, 2-way sub-tile interleave —
+# +0.96% relative reconstruction error vs the reference beam-5 on the
+# trained flagship (inside the 1% parity bar,
+# experiments/kernel_quality_d512_b8.json).  gramv3-int8: Gram-table kernel
+# on the int8 MXU path (quality +0.95%,
+# experiments/gramscore_quality_d512_b8.json).
+CANDIDATES = {
+    "seqbeam M8 R4 x3 altparity il2": (
+        "seqbeam", 3,
+        dict(M=8, R=4, pool_mask="altparity", block_b=256, interleave=2),
+    ),
+    "gramv3 int8 M8 R4 x3 allpool il2": (
+        "gramv3", 3,
+        dict(M=8, R=4, g_dtype="int8", block_b=256, interleave=2),
+    ),
+}
+FALLBACK = ("beam x5 (kernel-unavailable fallback)", ("beam", 5, {}))
 
-def model_flops_per_vector(
-    dim: int, nc: int, cs: int, cd_sweeps: int, M: int, passes: int
-) -> float:
-    """Model FLOPs (2 per MAC) per encoded vector for the active search
-    config: logits init + ``cd_sweeps`` coordinate-descent sweeps + the
-    sequential-beam kernel (v2 structure: root-only rescore at the first
-    codebook, no extension at the last).  Counts MXU matmul work only —
-    selection/bookkeeping are VPU ops with negligible FLOPs — so
-    flops/elapsed is an *achieved-math* rate, comparable against the bf16
-    peak to give an honest MFU."""
+
+def model_flops_per_vector(name: str) -> float:
+    """Model MXU FLOPs (2 per MAC) per encoded vector for a candidate.
+    Selection/bookkeeping are VPU ops with negligible FLOPs, so
+    flops/elapsed is an *achieved-math* rate comparable against the MXU
+    peak for an honest MFU."""
+    dim, nc, cs = DIM, NUM_CODEBOOKS, CODEBOOK_SIZE
+    M = 8
+    passes = 3
     logits = 2.0 * dim * nc * cs
-    # cd sweep (core/search.py::refine_indexes_cd): one-hot decode + per
-    # codebook (remove-old + rescore + add-new) matmuls
-    cd = cd_sweeps * (2.0 * nc * cs * dim + nc * 6.0 * cs * dim)
-    # seqbeam v2 pass: root decode, per-step shared c_cur/q matmuls,
-    # rescore (1 candidate at step 0, M after), extension (all but last step)
-    per_pass = (
-        2.0 * nc * cs * dim
-        + nc * 4.0 * cs * dim
-        + (1 + (nc - 1) * M) * 2.0 * dim * cs
-        + (nc - 1) * M * 2.0 * cs * dim
-    )
-    return logits + cd + passes * per_pass
+    if name.startswith("seqbeam"):
+        # v2 pass: root decode, per-step shared c_cur/q matmuls, rescore
+        # (1 candidate at step 0, M after), extension (all but last step)
+        per_pass = (
+            2.0 * nc * cs * dim
+            + nc * 4.0 * cs * dim
+            + (1 + (nc - 1) * M) * 2.0 * dim * cs
+            + (nc - 1) * M * 2.0 * cs * dim
+        )
+        return logits + passes * per_pass
+    if name.startswith("gramv3"):
+        # v3: logits + XC precompute + per-pass Gram matmuls (step 0 is a
+        # single-candidate rescore)
+        K = nc * cs
+        return (
+            logits
+            + 2.0 * dim * K
+            + passes * (1 + (nc - 1) * M) * 2.0 * K * cs
+        )
+    return 0.0
 
 
-def main() -> None:
+# --------------------------------------------------------------- worker
+
+def worker(name: str) -> None:
+    """Run ONE candidate (or the preflight) in this process and print a
+    single JSON result line on stdout."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    # Persistent compilation cache: the fused kernels compile in 1-7 min
+    # (erratically) through the remote Mosaic helper; cache executables
+    # across runs so the timed section never includes a cold compile twice.
+    if not os.environ.get("QUANTIZATION_TPU_NO_CACHE"):
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "QUANTIZATION_TPU_CACHE_DIR",
+                os.path.expanduser("~/.cache/quantization_tpu_jax"),
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from quantization_tpu import core
+
     config = core.QuantizerConfig(
         dim=DIM, codebook_size=CODEBOOK_SIZE, num_codebooks=NUM_CODEBOOKS
     )
     params = core.init_quantizer_params(jax.random.PRNGKey(0), config)
 
-    def make_enc(search_method, iters, **kw):
-        return jax.jit(
+    if name == "preflight":
+        # Tiny pure-XLA encode: proves the chip dispatches at all.  Any
+        # failure here is the chip/tunnel, not a kernel.
+        x = jax.random.normal(jax.random.PRNGKey(1), (256, DIM), jnp.float32)
+        enc = jax.jit(
             lambda p, x: core.encode(
-                p,
-                config,
-                x,
-                refine_indexes_iters=iters,
-                as_bytes=True,
-                search_method=search_method,
-                **kw,
+                p, config, x, refine_indexes_iters=1, search_method="beam"
             )
         )
+        np.asarray(enc(params, x))
+        print(json.dumps({"name": name, "ok": True}))
+        return
 
-    # Candidate kernels, tried in order; the best measured one is reported.
-    # v3 (ops/gramv3.py) eliminates the error buffer and targets the int8
-    # MXU peak; quality screened in-bar for both (+0.96% v2 / +0.95% v3i8
-    # vs beam-5, experiments/{kernel_quality,gramscore_quality}_d512_b8.json).
-    candidates = [
-        (
-            f"seqbeam M{SEQBEAM_M} R{SEQBEAM_R} x{SEQBEAM_PASSES} "
-            f"{SEQBEAM_KW['pool_mask']} il{SEQBEAM_KW['interleave']}",
-            make_enc("seqbeam", SEQBEAM_PASSES, M=SEQBEAM_M, R=SEQBEAM_R,
-                     **SEQBEAM_KW),
-        ),
-        (
-            "gramv3 int8 M8 R4 x3 allpool il2",
-            make_enc("gramv3", SEQBEAM_PASSES, M=SEQBEAM_M, R=SEQBEAM_R,
-                     g_dtype="int8", block_b=256, interleave=2),
-        ),
-    ]
-
+    method, iters, kw = CANDIDATES.get(name, FALLBACK[1] if name == FALLBACK[0] else (None,) * 3)
+    if method is None:
+        raise SystemExit(f"unknown worker {name!r}")
+    enc = jax.jit(
+        lambda p, x: core.encode(
+            p, config, x, refine_indexes_iters=iters, as_bytes=True,
+            search_method=method, **kw,
+        )
+    )
     xs = [
         jax.device_put(
             jax.random.normal(jax.random.PRNGKey(i + 1), (BATCH, DIM), jnp.float32)
@@ -137,64 +157,96 @@ def main() -> None:
         for i in range(NBATCH)
     ]
     jax.block_until_ready(xs)
-
     # Warm-up / compile, forced to completion with a host fetch (on the
-    # tunneled platform, block_until_ready alone has proven unreliable as a
-    # fence, and re-dispatch on identical buffers can be served from a
-    # result cache — so: single timed pass, fresh inputs, full fetch of the
+    # tunneled platform, block_until_ready alone has proven unreliable as
+    # a fence, and re-dispatch on identical buffers can be served from a
+    # result cache — so: timed pass on fresh inputs, full fetch of the
     # (small, uint8) outputs).
-    import numpy as np
+    np.asarray(enc(params, xs[0]))
+    t0 = time.perf_counter()
+    outs = [enc(params, x) for x in xs[1:]]  # queue all dispatches
+    # Fetch the last output: all dispatches share one device stream, so its
+    # completion fences the rest with a single tunnel round-trip; a fetch
+    # per batch would add ~30ms RTT each.
+    np.asarray(outs[-1])
+    vec_per_sec = (NBATCH - 1) * BATCH / (time.perf_counter() - t0)
+    print(json.dumps({"name": name, "ok": True, "vec_per_sec": vec_per_sec}))
 
-    def warmup(fn, attempts=3):
-        # The tunneled chip occasionally throws a transient
-        # FAILED_PRECONDITION right after another process released it;
-        # retry before concluding the kernel is unavailable.
-        for i in range(attempts):
+
+# ---------------------------------------------------------- orchestrator
+
+def run_worker(name: str, timeout: float) -> dict:
+    """Run one candidate in a fresh subprocess; never raises."""
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", name],
+            capture_output=True, text=True, timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return {"name": name, "ok": False, "error": f"timeout after {timeout:.0f}s"}
+    for line in reversed(p.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
             try:
-                np.asarray(fn(params, xs[0]))
-                return True
-            except Exception as e:
-                print(f"warmup attempt {i + 1}/{attempts} failed: "
-                      f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
-                time.sleep(30)
-        return False
+                return json.loads(line)
+            except json.JSONDecodeError:
+                pass
+    tail = (p.stderr or p.stdout or "").strip().splitlines()[-8:]
+    return {"name": name, "ok": False, "rc": p.returncode,
+            "error": " | ".join(t.strip()[:160] for t in tail)}
 
-    def measure(fn):
-        t0 = time.perf_counter()
-        outs = [fn(params, x) for x in xs[1:]]  # queue all dispatches
-        # Fetch the last output: all dispatches share one device stream, so
-        # its completion fences the rest with a single tunnel round-trip; a
-        # fetch per batch would add ~30ms RTT each.
-        np.asarray(outs[-1])
-        return (NBATCH - 1) * BATCH / (time.perf_counter() - t0)
 
-    active, vec_per_sec = None, 0.0
-    for name, fn in candidates:
-        # Each candidate warms up independently: a Mosaic rejection of one
-        # kernel (e.g. no int8 MXU on this toolchain) must not lose the
-        # others.
-        if not warmup(fn, attempts=2):
-            print(f"candidate unavailable: {name}", file=sys.stderr)
-            continue
-        v = measure(fn)
-        print(f"candidate {name}: {v:.0f} vec/s", file=sys.stderr)
-        if v > vec_per_sec:
-            active, vec_per_sec = name, v
-    if active is None:
-        # No Mosaic kernel compiles on this toolchain: fall back to the
-        # pure-XLA reference-parity beam so a number is always produced.
-        print("no kernel available; falling back to XLA beam",
+def ensure_chip(tries: int = 4, sleep_s: float = 45.0) -> bool:
+    """Fresh-process pure-XLA preflight, retried while the worker recovers
+    (a released/crashed TPU worker takes tens of seconds to come back)."""
+    for i in range(tries):
+        r = run_worker("preflight", timeout=300)
+        if r.get("ok"):
+            return True
+        print(f"preflight {i + 1}/{tries} failed: {r.get('error', '?')}",
               file=sys.stderr)
-        enc = make_enc("beam", 5)
-        active = "beam x5 (kernel-unavailable fallback)"
-        if not warmup(enc):
-            raise RuntimeError("device unavailable for benchmarking")
-        vec_per_sec = measure(enc)
+        if i + 1 < tries:
+            time.sleep(sleep_s)
+    return False
+
+
+def main() -> None:
+    if not ensure_chip():
+        raise RuntimeError("device unavailable for benchmarking "
+                           "(pure-XLA preflight failed in fresh processes)")
+    results = []
+    for name in CANDIDATES:
+        r = run_worker(name, timeout=1500)
+        if r.get("ok"):
+            print(f"candidate {name}: {r['vec_per_sec']:.0f} vec/s",
+                  file=sys.stderr)
+            results.append((name, r["vec_per_sec"]))
+        else:
+            print(f"candidate failed: {name}: {r.get('error', '?')}",
+                  file=sys.stderr)
+            # Distinguish "this kernel faults" from "chip went away":
+            # re-preflight in a fresh process before the next candidate.
+            if not ensure_chip():
+                print("chip did not recover; stopping candidate sweep",
+                      file=sys.stderr)
+                break
+    if results:
+        active, vec_per_sec = max(results, key=lambda nv: nv[1])
+    else:
+        # No kernel survived: fall back to the pure-XLA reference-parity
+        # beam in its own fresh process so a number is always produced.
+        print("no kernel available; falling back to XLA beam", file=sys.stderr)
+        name = FALLBACK[0]
+        r = run_worker(name, timeout=900)
+        if not r.get("ok"):
+            raise RuntimeError(
+                f"fallback beam failed in a fresh process: {r.get('error')}")
+        active, vec_per_sec = name, r["vec_per_sec"]
 
     # Roofline accounting: model matmul FLOPs of the active search config
-    # per vector, achieved FLOP/s, and fraction of the chip's bf16 peak.
-    # Only reported for the kernel config (the FLOP model is seqbeam's);
-    # a beam fallback reports the throughput alone, honestly labeled.
+    # per vector, achieved FLOP/s, and fraction of the chip's MXU peak
+    # (int8 configs counted against the 2x int8 peak).  A beam fallback
+    # reports the throughput alone, honestly labeled.
     record = {
         "metric": "encode_vectors_per_sec_dim512_8B",
         "value": round(vec_per_sec, 1),
@@ -202,28 +254,8 @@ def main() -> None:
         "vs_baseline": round(vec_per_sec / NORTH_STAR_PER_CHIP, 6),
         "config": f"{active}, batch {BATCH}",
     }
-    if active.startswith("seqbeam"):
-        fpv = model_flops_per_vector(
-            DIM, NUM_CODEBOOKS, CODEBOOK_SIZE, 0, SEQBEAM_M, SEQBEAM_PASSES
-        )
-        tflops = vec_per_sec * fpv / 1e12
-        record.update(
-            model_flops_per_vector=round(fpv),
-            achieved_tflops=round(tflops, 2),
-            mfu=round(tflops / PEAK_TFLOPS, 4),
-        )
-    elif active.startswith("gramv3"):
-        # v3 model FLOPs: logits + XC precompute + per-pass Gram matmuls
-        # (step 0 is a single-candidate rescore); int8 ops counted against
-        # the chip's int8 peak (2x bf16 on v5e)
-        K = NUM_CODEBOOKS * CODEBOOK_SIZE
-        fpv = (
-            2.0 * DIM * K  # logits (nc*cs output lanes)
-            + 2.0 * DIM * K  # XC precompute
-            + SEQBEAM_PASSES
-            * (1 + (NUM_CODEBOOKS - 1) * SEQBEAM_M)
-            * 2.0 * K * CODEBOOK_SIZE
-        )
+    fpv = model_flops_per_vector(active)
+    if fpv:
         tflops = vec_per_sec * fpv / 1e12
         peak = PEAK_TFLOPS * (2.0 if "int8" in active else 1.0)
         record.update(
@@ -235,4 +267,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        worker(sys.argv[2])
+    else:
+        main()

@@ -1,10 +1,17 @@
-"""Quality-regression guard for the auto/seqbeam search config.
+"""Quality-regression guard for the shipped kernel search configs.
 
 The headline claim (kernel within 1% relative reconstruction error of the
-reference beam-5) is measured on TPU over 8K frames in experiments/; this
-test pins a loose version of it in CI using the committed trained
-dim=256/4B quantizer and the interpret-mode kernel on a small frame set —
-same frames for both searches, so the comparison is paired and stable.
+reference beam-5, `quantization/quantization.py:308-548`) is measured on
+TPU over 8K frames in experiments/; this test pins it in CI using the
+committed trained dim=256/4B quantizer and the interpret-mode kernels on a
+2K paired frame set — same frames for both searches, so the comparison is
+paired and stable.  The gate is tied to the actual parity bar: each
+shipped config must stay within beam5 * 1.012 summed squared error (the
+measured deltas are +0.6-0.9%; a drift past ~1.2% on this paired set means
+the 1% headline claim no longer holds).
+
+The trained artifact is committed (experiments/q256_4_full.npz); a missing
+artifact is a test FAILURE, not a skip — this gate must always run.
 """
 
 import pathlib
@@ -16,31 +23,56 @@ import pytest
 from quantization_tpu import core
 from quantization_tpu.core import codec, search
 from quantization_tpu.data.synthetic import make_mlp_sampler
+from quantization_tpu.ops.gramv3 import gramv3_encode_indexes
 from quantization_tpu.ops.seqbeam import seqbeam_encode_indexes
 from quantization_tpu.utils.serialization import load_quantizer
 
 QPATH = pathlib.Path(__file__).resolve().parents[1] / "experiments" / "q256_4_full.npz"
+N_FRAMES = 2048
+BAR = 1.012  # vs beam-5; the shipped parity claim is 1% on 8K TPU frames
 
 
-@pytest.mark.slow
-def test_kernel_quality_within_bar_on_trained_quantizer():
-    if not QPATH.exists():
-        pytest.skip("trained quantizer artifact not present")
+@pytest.fixture(scope="module")
+def trained():
+    assert QPATH.exists(), (
+        f"trained quantizer artifact missing: {QPATH} — the quality gate "
+        "must always run; restore the committed file")
     q = load_quantizer(QPATH)
-    params, config = q.params, q.config
-    sampler = make_mlp_sampler(config.dim, jax.random.PRNGKey(42))
-    x = sampler(jax.random.PRNGKey(7), 256)
-    centers = core.scaled_centers(params, config.scale_speed)
+    sampler = make_mlp_sampler(q.config.dim, jax.random.PRNGKey(42))
+    x = sampler(jax.random.PRNGKey(7), N_FRAMES)
+    centers = core.scaled_centers(q.params, q.config.scale_speed)
 
     def sse(idx):
         recon = codec.decode_indexes(centers, idx)
         return float(jnp.sum((recon - x) ** 2))
 
-    beam5 = sse(search.compute_indexes(params, config, x, 5, search="beam"))
-    # the auto config at dim=256/4B: M=8, R=4, 2 passes
+    beam5 = sse(search.compute_indexes(q.params, q.config, x, 5, search="beam"))
+    return q, x, sse, beam5
+
+
+@pytest.mark.slow
+def test_seqbeam_auto_config_within_bar(trained):
+    # exactly the shipped auto config at dim=256/4B (core/codec.py):
+    # M=8, R=4, 2 passes, altparity pool schedule, interleave=2
+    q, x, sse, beam5 = trained
     kernel = sse(
-        seqbeam_encode_indexes(params, config, x, M=8, R=4, passes=2,
-                               interpret=True)
+        seqbeam_encode_indexes(
+            q.params, q.config, x, M=8, R=4, passes=2,
+            pool_mask="altparity", block_b=256, interleave=2,
+            interpret=True,
+        )
     )
-    # Measured +0.59% on 8K frames; allow 2% on this 256-frame paired subset.
-    assert kernel <= beam5 * 1.02, (kernel, beam5)
+    assert kernel <= beam5 * BAR, (kernel / beam5, kernel, beam5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("g_dtype", ["bf16", "int8"])
+def test_gramv3_within_bar(trained, g_dtype):
+    q, x, sse, beam5 = trained
+    kernel = sse(
+        gramv3_encode_indexes(
+            q.params, q.config, x, M=8, R=4, passes=3,
+            g_dtype=g_dtype, block_b=256, interpret=True,
+        )
+    )
+    assert kernel <= beam5 * BAR, (g_dtype, kernel / beam5, kernel, beam5)
