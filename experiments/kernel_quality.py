@@ -64,4 +64,17 @@ for (M, R, p, mk) in ((8, 4, 3, "+altparity"), (16, 4, 2, "")):
                                        e_dtype="bf16"))
     results[k] = e
     print(f"{k:26s} {e:.5f} (+{100*(e/ref-1):.2f}%)", flush=True)
+# REAL gramv3 kernel quality on chip (VERDICT r2: the int8 Gram-table path
+# was previously screened only by the experiments/gramscore_quality.py
+# arithmetic simulation; this runs the actual Pallas kernel)
+from quantization_tpu.ops.gramv3 import GRAMV3_SUPPORTED, gramv3_encode_indexes
+if GRAMV3_SUPPORTED(config):
+    for g_dtype in ("bf16", "int8"):
+        for (M, R, p) in ((8, 4, 3),):
+            k = f"gramv3-{g_dtype} M{M}R{R}p{p}"
+            e = rel_err(gramv3_encode_indexes(
+                params, config, x, M=M, R=R, passes=p, g_dtype=g_dtype,
+                block_b=256))
+            results[k] = e
+            print(f"{k:26s} {e:.5f} (+{100*(e/ref-1):.2f}%)", flush=True)
 (HERE / f"kernel_quality_d{dim}_b{bpf}.json").write_text(json.dumps(results))
