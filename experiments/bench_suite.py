@@ -40,12 +40,23 @@ for dim, bpf in ((256, 4), (512, 8)):
     B = 8192
     mk = lambda i: jax.random.normal(jax.random.PRNGKey(100 + i), (B, dim))
 
-    for method, iters, kw in (
-        ("beam", 5, {}),
-        ("seqbeam", 3, dict(M=8, R=4)),  # the round-2 headline config
-        ("cd", 5, {}),
+    # "seqbeam" here is the SHIPPED auto config (core/codec.py): altparity
+    # pool schedule, block_b=256, interleave=2, 2 passes at dim=256 /
+    # 3 at dim=512 — the same config bench.py measures, so the suite and
+    # the headline artifact agree up to B / dispatch pattern.
+    auto_kw = dict(M=8, R=4, pool_mask="altparity", block_b=256, interleave=2)
+    from quantization_tpu.ops.gramv3 import GRAMV3_SUPPORTED
+
+    for label, method, iters, kw in (
+        ("beam", "beam", 5, {}),
+        ("seqbeam", "seqbeam", 2 if dim == 256 else 3, auto_kw),
+        ("gramv3int8", "gramv3", 3,
+         dict(M=8, R=4, g_dtype="int8", block_b=256, interleave=2)),
+        ("cd", "cd", 5, {}),
     ):
         if method == "seqbeam" and not SEQBEAM_SUPPORTED(cfg):
+            continue
+        if method == "gramv3" and not GRAMV3_SUPPORTED(cfg):
             continue
         f = jax.jit(
             lambda p, x, m=method, it=iters, k=kw: core.encode(
@@ -53,7 +64,7 @@ for dim, bpf in ((256, 4), (512, 8)):
             )
         )
         dt = fetch_time(f, (params, mk(99)), make_fresh=mk)
-        results[f"encode_{method}_d{dim}_b{bpf}_vec_s"] = round(B / dt, 1)
+        results[f"encode_{label}_d{dim}_b{bpf}_vec_s"] = round(B / dt, 1)
 
     # decode (reduce the output on device: fetching (B, dim) f32 through
     # the tunnel would dominate the measurement)
