@@ -49,13 +49,20 @@ PEAK_TFLOPS = float(os.environ.get("QTPU_PEAK_TFLOPS", "197"))
 
 # Candidate registry: name -> (search_method, refine_iters, kwargs).
 # Headline: fused seqbeam kernel, beam width M=8, per-parent top-R=4,
-# 3 passes, "altparity" pool/R1 step schedule, 2-way sub-tile interleave —
-# +0.96% relative reconstruction error vs the reference beam-5 on the
-# trained flagship (inside the 1% parity bar,
-# experiments/kernel_quality_d512_b8.json).  gramv3-int8: Gram-table kernel
-# on the int8 MXU path (quality +0.95%,
-# experiments/gramscore_quality_d512_b8.json).
+# 3 passes, "altparity" pool/R1 step schedule, 2-way sub-tile interleave,
+# bit-exact select-tree beam reorder, bf16 E storage — +0.96% relative
+# reconstruction error vs the reference beam-5 on the trained flagship
+# (inside the 1% parity bar, experiments/kernel_quality_d512_b8.json
+# "M8R4p3+altparity+sel+ebf16"; quality-identical to the gather/f32
+# variant, +10% throughput, experiments/ab_r3b.log).  gramv3-int8:
+# Gram-table kernel on the int8 MXU path (real-chip quality +0.91%,
+# experiments/kernel_quality_d512_b8.json).
 CANDIDATES = {
+    "seqbeam M8 R4 x3 altparity il2 sel ebf16": (
+        "seqbeam", 3,
+        dict(M=8, R=4, pool_mask="altparity", block_b=256, interleave=2,
+             reorder="select", e_dtype="bf16"),
+    ),
     "seqbeam M8 R4 x3 altparity il2": (
         "seqbeam", 3,
         dict(M=8, R=4, pool_mask="altparity", block_b=256, interleave=2),
@@ -216,7 +223,10 @@ def main() -> None:
                            "(pure-XLA preflight failed in fresh processes)")
     results = []
     for name in CANDIDATES:
-        r = run_worker(name, timeout=1500)
+        # compiles through the remote Mosaic helper are erratic (60s-25min
+        # observed for the same program); the persistent cache makes the
+        # second run cheap, but the first must not be killed mid-compile
+        r = run_worker(name, timeout=2700)
         if r.get("ok"):
             print(f"candidate {name}: {r['vec_per_sec']:.0f} vec/s",
                   file=sys.stderr)

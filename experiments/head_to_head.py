@@ -22,6 +22,12 @@ import time
 
 SIDE = os.environ.get("QTPU_H2H_SIDE", "both")
 assert SIDE in ("both", "ours", "torch"), SIDE
+# Search used for BOTH phase-2 training and the eval encode on our side.
+# "beam" is the exact counterpart of the reference's beam-5
+# (quantization/quantization.py:308-548); "auto" routes to the TPU kernel,
+# which trades ~+0.9% rel err for throughput — use "beam" for the parity
+# number and "auto" when measuring the shipped-default quality.
+SEARCH = os.environ.get("QTPU_H2H_SEARCH", "beam")
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 REFERENCE = "/root/reference"
@@ -59,7 +65,8 @@ x_eval = np.asarray(sampler(jax.random.PRNGKey(2), EVAL_N))
 print(f"data ready: {len(batches)} batches of {batch}x{dim}", flush=True)
 
 HERE = pathlib.Path(__file__).parent
-STEM = f"head_to_head_d{dim}_b{bpf}_{p1}+{p2}"
+STEM = f"head_to_head_d{dim}_b{bpf}_{p1}+{p2}" + (
+    "" if SEARCH == "beam" else f"_{SEARCH}")
 
 # ---------------------------------------------------------------- ours
 side_results = {}
@@ -68,17 +75,19 @@ if SIDE in ("both", "ours"):
 
     t0 = time.time()
     ours = OurTrainer(dim=dim, bytes_per_frame=bpf, phase_one_iters=p1,
-                      phase_two_iters=p2, lr=0.005, seed=0, diagnostics=False)
+                      phase_two_iters=p2, lr=0.005, seed=0, diagnostics=False,
+                      train_search=SEARCH)
     i = 0
     while not ours.done():
         ours.step(batches[i]); i += 1
     q = ours.get_quantizer()
-    recon = np.asarray(q.decode(q.encode(x_eval)))
+    recon = np.asarray(q.decode(q.encode(x_eval, search_method=SEARCH)))
     mean = np.asarray(q.get_data_mean())
     ours_err = float(((recon - x_eval) ** 2).sum() / ((x_eval - mean) ** 2).sum())
     ours_time = time.time() - t0
     print(f"ours: rel_err={ours_err:.4f} wall={ours_time:.0f}s", flush=True)
-    side_results["ours"] = dict(ours_rel_err=ours_err, ours_wall_s=ours_time)
+    side_results["ours"] = dict(ours_rel_err=ours_err, ours_wall_s=ours_time,
+                                ours_search=SEARCH)
 
 # ------------------------------------------------------------- reference
 if SIDE in ("both", "torch"):

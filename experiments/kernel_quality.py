@@ -64,6 +64,19 @@ for (M, R, p, mk) in ((8, 4, 3, "+altparity"), (16, 4, 2, "")):
                                        e_dtype="bf16"))
     results[k] = e
     print(f"{k:26s} {e:.5f} (+{100*(e/ref-1):.2f}%)", flush=True)
+# the shipped dim=256 two-pass auto config + its select/bf16-E variant
+# (pool_mask="altparity" resolves per-pass inside the kernel)
+if config.num_codebooks == 4:
+    for flags, kw in (
+        ("", {}),
+        ("+sel+ebf16", dict(reorder="select", e_dtype="bf16")),
+    ):
+        k = f"kernel M8R4p2+altparity{flags}"
+        e = rel_err(seqbeam_encode_indexes(
+            params, config, x, M=8, R=4, passes=2, pool_mask="altparity",
+            block_b=256, **kw))
+        results[k] = e
+        print(f"{k:26s} {e:.5f} (+{100*(e/ref-1):.2f}%)", flush=True)
 # REAL gramv3 kernel quality on chip (VERDICT r2: the int8 Gram-table path
 # was previously screened only by the experiments/gramscore_quality.py
 # arithmetic simulation; this runs the actual Pallas kernel)

@@ -15,6 +15,7 @@ Pass criteria per config (beyond "did not fault"):
 Usage:
   python experiments/kernel_smoke.py            # full sweep + write table
   python experiments/kernel_smoke.py --one NAME # one config, this process
+  python experiments/kernel_smoke.py --only A,B # rerun subset, merge table
 """
 
 import json
@@ -34,7 +35,8 @@ OUT = ROOT / "quantization_tpu" / "ops" / "verified.json"
 CONFIGS = {
     # the shipped auto default (dim=512 flagship + dim=256 two-pass variant)
     "seqbeam_hl_d512": (512, 8, "seqbeam", 3,
-        dict(M=8, R=4, pool_mask="altparity", block_b=256, interleave=2)),
+        dict(M=8, R=4, pool_mask="altparity", block_b=256, interleave=2,
+             reorder="select", e_dtype="bf16")),
     "seqbeam_hl_d256": (256, 4, "seqbeam", 2,
         dict(M=8, R=4, pool_mask="altparity", block_b=256, interleave=2)),
     # pool/interleave ablations of the v2 kernel
@@ -113,9 +115,18 @@ def run_one(name: str) -> dict:
     return {"ok": True, "detail": f"err {err0:.1f} -> {err1:.1f}"}
 
 
-def main() -> None:
+def main(only: list[str] | None = None) -> None:
+    # --only a,b reruns a subset and merges into the existing table (the
+    # untouched entries keep their recorded pass/fail + timestamp context).
     results = {}
-    for name in CONFIGS:
+    if only:
+        try:
+            results = json.loads(OUT.read_text())["results"]
+        except Exception:
+            pass
+        unknown = set(only) - set(CONFIGS)
+        assert not unknown, f"unknown configs: {sorted(unknown)}"
+    for name in only or CONFIGS:
         t0 = time.time()
         try:
             p = subprocess.run(
@@ -159,5 +170,7 @@ if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--one":
         r = run_one(sys.argv[2])
         print(json.dumps(r))
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--only":
+        main(only=sys.argv[2].split(","))
     else:
         main()

@@ -208,11 +208,18 @@ class QuantizerTrainer:
         self.entropy_scale = entropy_scale
         self.diagnostics = diagnostics
         self.mesh = mesh
-        # "auto"/"seqbeam" route the training index search through the
-        # fused Pallas kernel where the config supports it on TPU (phase 2
-        # of flagship configs: +22% steps/s at equal loss, measured in
-        # experiments/train_speed_r2.log); phase 1 (codebook_size 16) and
-        # non-TPU backends always use the XLA beam.
+        # "auto" trains with the exact XLA beam: at the reference's full
+        # tuned 10k+10k schedule the beam-trained quantizer matches the
+        # torch reference to 4 decimals (dim=512/8B ratio 1.0001,
+        # experiments/head_to_head_d512_b8_10000+10000.json) while the
+        # kernel-trained one lands at 1.0167 — outside the 1% parity bar
+        # (the kernel's small per-step search suboptimality compounds into
+        # the codebook gradients over a long schedule; the `_auto.json`
+        # artifact preserves that measurement).  "seqbeam" opts in to the
+        # fused Pallas kernel for the phase-2 search (+22% steps/s,
+        # experiments/train_speed_r2.log) where quality headroom allows;
+        # phase 1 (codebook_size 16) and non-TPU backends always use the
+        # XLA beam.
         self.train_search = train_search
 
         if seed is None:
@@ -354,14 +361,14 @@ class QuantizerTrainer:
     # ------------------------------------------------------------- internals
 
     def _search_for_config(self) -> str:
-        if self.train_search in ("seqbeam", "auto"):
+        if self.train_search == "auto":
+            # exact beam: full-schedule parity with the torch reference
+            # (see the train_search comment in __init__)
+            return "beam"
+        if self.train_search == "seqbeam":
             from ..ops.seqbeam import SEQBEAM_SUPPORTED
 
-            use_kernel = SEQBEAM_SUPPORTED(self.config) and (
-                self.train_search == "seqbeam"
-                or jax.default_backend() == "tpu"
-            )
-            return "seqbeam" if use_kernel else "beam"
+            return "seqbeam" if SEQBEAM_SUPPORTED(self.config) else "beam"
         if self.train_search in ("gramv3", "gramv3-int8"):
             # opt-in v3 Gram-table kernel (ops/gramv3.py) for the phase-2
             # search; falls back to beam for unsupported configs (phase 1

@@ -66,6 +66,23 @@ def test_seqbeam_auto_config_within_bar(trained):
 
 
 @pytest.mark.slow
+def test_seqbeam_sel_ebf16_within_bar(trained):
+    # the dim=512 shipped auto config's kwarg family (core/codec.py):
+    # select-tree reorder + bf16 E on top of altparity/interleave=2 —
+    # measured quality-neutral vs gather/f32 on the real chip
+    # (experiments/kernel_quality_d512_b8.json); this pins it in CI.
+    q, x, sse, beam5 = trained
+    kernel = sse(
+        seqbeam_encode_indexes(
+            q.params, q.config, x, M=8, R=4, passes=2,
+            pool_mask="altparity", block_b=256, interleave=2,
+            reorder="select", e_dtype="bf16", interpret=True,
+        )
+    )
+    assert kernel <= beam5 * BAR, (kernel / beam5, kernel, beam5)
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("g_dtype", ["bf16", "int8"])
 def test_gramv3_within_bar(trained, g_dtype):
     q, x, sse, beam5 = trained
