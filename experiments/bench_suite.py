@@ -41,13 +41,12 @@ for dim, bpf in ((256, 4), (512, 8)):
     mk = lambda i: jax.random.normal(jax.random.PRNGKey(100 + i), (B, dim))
 
     # "seqbeam" here is the SHIPPED auto config (core/codec.py): altparity
-    # pool schedule, block_b=256, interleave=2, 2 passes at dim=256 /
-    # 3 at dim=512 (+ select-tree reorder and bf16 E at dim=512) — the same
-    # config bench.py measures, so the suite and the headline artifact
-    # agree up to B / dispatch pattern.
-    auto_kw = dict(M=8, R=4, pool_mask="altparity", block_b=256, interleave=2)
-    if dim == 512:
-        auto_kw.update(reorder="select", e_dtype="bf16")
+    # pool schedule, block_b=256, interleave=2, select-tree reorder, bf16 E,
+    # 2 passes at dim=256 / 3 at dim=512 — the same config bench.py
+    # measures, so the suite and the headline artifact agree up to
+    # B / dispatch pattern.
+    auto_kw = dict(M=8, R=4, pool_mask="altparity", block_b=256, interleave=2,
+                   reorder="select", e_dtype="bf16")
     from quantization_tpu.ops.gramv3 import GRAMV3_SUPPORTED
 
     for label, method, iters, kw in (

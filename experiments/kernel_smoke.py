@@ -38,7 +38,8 @@ CONFIGS = {
         dict(M=8, R=4, pool_mask="altparity", block_b=256, interleave=2,
              reorder="select", e_dtype="bf16")),
     "seqbeam_hl_d256": (256, 4, "seqbeam", 2,
-        dict(M=8, R=4, pool_mask="altparity", block_b=256, interleave=2)),
+        dict(M=8, R=4, pool_mask="altparity", block_b=256, interleave=2,
+             reorder="select", e_dtype="bf16")),
     # pool/interleave ablations of the v2 kernel
     "seqbeam_allpool_d512": (512, 8, "seqbeam", 3,
         dict(M=8, R=4, block_b=256)),

@@ -207,8 +207,10 @@ def main(argv=None) -> int:
     p.add_argument("--chunk", type=int, default=100, help="steps per dispatch")
     p.add_argument("--init", choices=["default", "multi_kmeans"], default="default")
     p.add_argument("--train-search", default="auto",
-                   help="auto (kernel where supported on TPU; default) | "
-                        "beam | seqbeam")
+                   help="auto (exact beam — full-schedule quality parity; "
+                        "default) | beam | seqbeam (fused kernel phase-2 "
+                        "search: +22%% steps/s, costs ~1.7%% rel err at the "
+                        "full d512 schedule)")
     p.add_argument("--quiet", action="store_true")
     p.set_defaults(fn=cmd_train)
 
