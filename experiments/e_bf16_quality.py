@@ -45,6 +45,19 @@ def rel_err(indexes):
     return float(jnp.sum((recon - x) ** 2)) / denom
 
 
+def _to_store(E, e_dtype):
+    """Simulate storing E in ``e_dtype``.  "int8" = symmetric per-row
+    (per-candidate) quantization, scale = max|row|/127, dequantized back to
+    f32 — the exact round-trip an int8-resident E would see (the kernel
+    would keep the scale as a (B, m) vector and fold it into the rescore
+    output row-scaling)."""
+    if e_dtype == "int8":
+        s = jnp.max(jnp.abs(E), axis=-1, keepdims=True) / 127.0
+        s = jnp.maximum(s, 1e-20)
+        return jnp.round(E / s).clip(-127, 127) * s
+    return E.astype(e_dtype)
+
+
 def seqbeam_pass(x, indexes, M, R, pool_steps, e_dtype):
     """Kernel-faithful sweep with E carried in ``e_dtype``; mirrors the
     v2 arithmetic: rescore = bf16 matmul of E, extension adds the bf16
@@ -53,7 +66,7 @@ def seqbeam_pass(x, indexes, M, R, pool_steps, e_dtype):
     B = x.shape[0]
     onehot = jax.nn.one_hot(indexes, cs, dtype=jnp.float32)
     recon = jnp.einsum("bnk,nkd->bd", onehot, centers)
-    E = (recon - x)[:, None, :].astype(e_dtype)  # (B, 1, D): recon - x
+    E = _to_store((recon - x)[:, None, :], e_dtype)  # (B, 1, D): recon - x
     ss = jnp.sum(
         E.astype(jnp.float32) ** 2, axis=-1
     )  # (B, m) carried ||E||^2
@@ -103,7 +116,7 @@ def seqbeam_pass(x, indexes, M, R, pool_steps, e_dtype):
             preferred_element_type=jnp.float32,
         )
         E_par = jnp.take_along_axis(E, parent[:, :, None], axis=1)
-        E = (E_par.astype(jnp.float32) + c_delta).astype(e_dtype)
+        E = _to_store(E_par.astype(jnp.float32) + c_delta, e_dtype)
         chosen = jnp.take_along_axis(chosen, parent[:, :, None], axis=1)
         chosen = chosen.at[:, :, t].set(j)
         ss = vals
@@ -129,7 +142,7 @@ ODD = tuple(t % 2 == 1 for t in range(nc))
 ALT = (EVEN, ODD, EVEN)
 ALL = ((True,) * nc,) * 3
 M, R = 8, 4
-for ename, edt in (("f32", jnp.float32), ("bf16", bf16)):
+for ename, edt in (("f32", jnp.float32), ("bf16", bf16), ("int8", "int8")):
     for sname, sched in (("altparity", ALT), ("allpool", ALL)):
         e = rel_err(jax.jit(lambda x, s=sched, d=edt: encode_cfg(
             x, M, R, s, d))(x))
