@@ -28,6 +28,11 @@ assert SIDE in ("both", "ours", "torch"), SIDE
 # which trades ~+0.9% rel err for throughput — use "beam" for the parity
 # number and "auto" when measuring the shipped-default quality.
 SEARCH = os.environ.get("QTPU_H2H_SEARCH", "beam")
+# QTPU_H2H_FT=N trains the final N steps with the exact beam (the
+# trainer's beam_finetune_iters) while the bulk uses SEARCH; the eval
+# encode then also uses the exact beam (the finetuned codebooks' natural
+# decoder-side search).
+FT = int(os.environ.get("QTPU_H2H_FT", "0"))
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 REFERENCE = "/root/reference"
@@ -66,7 +71,7 @@ print(f"data ready: {len(batches)} batches of {batch}x{dim}", flush=True)
 
 HERE = pathlib.Path(__file__).parent
 STEM = f"head_to_head_d{dim}_b{bpf}_{p1}+{p2}" + (
-    "" if SEARCH == "beam" else f"_{SEARCH}")
+    "" if SEARCH == "beam" else f"_{SEARCH}") + (f"_ft{FT}" if FT else "")
 
 # ---------------------------------------------------------------- ours
 side_results = {}
@@ -76,18 +81,19 @@ if SIDE in ("both", "ours"):
     t0 = time.time()
     ours = OurTrainer(dim=dim, bytes_per_frame=bpf, phase_one_iters=p1,
                       phase_two_iters=p2, lr=0.005, seed=0, diagnostics=False,
-                      train_search=SEARCH)
+                      train_search=SEARCH, beam_finetune_iters=FT)
     i = 0
     while not ours.done():
         ours.step(batches[i]); i += 1
     q = ours.get_quantizer()
-    recon = np.asarray(q.decode(q.encode(x_eval, search_method=SEARCH)))
+    eval_search = "beam" if FT else SEARCH
+    recon = np.asarray(q.decode(q.encode(x_eval, search_method=eval_search)))
     mean = np.asarray(q.get_data_mean())
     ours_err = float(((recon - x_eval) ** 2).sum() / ((x_eval - mean) ** 2).sum())
     ours_time = time.time() - t0
     print(f"ours: rel_err={ours_err:.4f} wall={ours_time:.0f}s", flush=True)
     side_results["ours"] = dict(ours_rel_err=ours_err, ours_wall_s=ours_time,
-                                ours_search=SEARCH)
+                                ours_search=SEARCH, ours_beam_finetune=FT)
 
 # ------------------------------------------------------------- reference
 if SIDE in ("both", "torch"):
@@ -125,8 +131,11 @@ base = dict(dim=dim, bytes_per_frame=bpf, p1=p1, p2=p2, batch=batch)
 for side, r in side_results.items():
     (HERE / f"{STEM}.{side}.json").write_text(json.dumps({**base, **r}))
 merged = dict(base)
+BASE_STEM = f"head_to_head_d{dim}_b{bpf}_{p1}+{p2}"
 for side in ("ours", "torch"):
-    part = HERE / f"{STEM}.{side}.json"
+    # the torch leg is independent of SEARCH/FT: reuse the canonical
+    # partial so one 8-hour CPU run serves every ours-side variant
+    part = HERE / (f"{BASE_STEM if side == 'torch' else STEM}.{side}.json")
     if side in side_results:
         merged.update(side_results[side])
     elif part.exists():

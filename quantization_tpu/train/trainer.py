@@ -194,6 +194,7 @@ class QuantizerTrainer:
         diagnostics: bool = True,
         mesh: Optional[jax.sharding.Mesh] = None,
         train_search: str = "auto",
+        beam_finetune_iters: int = 0,
         init: str = "default",
         init_data=None,
         init_iters: int = 300,
@@ -219,8 +220,12 @@ class QuantizerTrainer:
         # fused Pallas kernel for the phase-2 search (+22% steps/s,
         # experiments/train_speed_r2.log) where quality headroom allows;
         # phase 1 (codebook_size 16) and non-TPU backends always use the
-        # XLA beam.
+        # XLA beam.  ``beam_finetune_iters`` = N > 0 runs the FINAL N steps
+        # of phase 2 with the exact beam regardless, so a kernel-trained
+        # run ends with exact-search gradient targets (mitigates the
+        # compounding above at a fraction of full beam-training cost).
         self.train_search = train_search
+        self.beam_finetune_iters = int(beam_finetune_iters)
 
         if seed is None:
             seed = int.from_bytes(__import__("os").urandom(4), "little")
@@ -287,7 +292,8 @@ class QuantizerTrainer:
         num_iters = 2 if self._rng.random() < self.two_iter_prob else 1
         lr = self._lr_for_iter(self.cur_iter)
         train_step = _make_train_step(
-            self.config, num_iters, self.entropy_scale, self._search_for_config()
+            self.config, num_iters, self.entropy_scale,
+            self._search_for_config(self.cur_iter),
         )
         self.params, self.opt_state, losses = train_step(
             self.params, self.opt_state, x, jnp.float32(lr)
@@ -320,6 +326,10 @@ class QuantizerTrainer:
             # `quantization/quantization.py:717`).
             if self.cur_iter <= self.phase_one_iters:
                 room = self.phase_one_iters - self.cur_iter + 1
+            elif self.cur_iter < self._finetune_start():
+                # also break at the beam-finetune switch so one scan never
+                # mixes kernel and beam search steps
+                room = self._finetune_start() - self.cur_iter
             else:
                 room = self.phase_one_iters + self.phase_two_iters - self.cur_iter + 1
                 if room <= 0:
@@ -344,7 +354,8 @@ class QuantizerTrainer:
                 dtype=jnp.float32,
             )
             run = _make_train_scan(
-                self.config, self.entropy_scale, self._search_for_config()
+                self.config, self.entropy_scale,
+                self._search_for_config(self.cur_iter),
             )
             self.params, self.opt_state, _ = run(
                 self.params, self.opt_state, xc, use2s, lrs
@@ -360,7 +371,15 @@ class QuantizerTrainer:
 
     # ------------------------------------------------------------- internals
 
-    def _search_for_config(self) -> str:
+    def _finetune_start(self) -> int:
+        """First iteration of the exact-beam finetune tail (see
+        ``beam_finetune_iters``); past-the-end when disabled."""
+        total = self.phase_one_iters + self.phase_two_iters
+        return total + 1 - max(0, self.beam_finetune_iters)
+
+    def _search_for_config(self, cur_iter: Optional[int] = None) -> str:
+        if cur_iter is not None and cur_iter >= self._finetune_start():
+            return "beam"
         if self.train_search == "auto":
             # exact beam: full-schedule parity with the torch reference
             # (see the train_search comment in __init__)

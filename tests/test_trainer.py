@@ -159,6 +159,53 @@ def test_step_many_matches_step_loop():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
 
 
+def test_beam_finetune_boundary_and_equivalence(monkeypatch):
+    """``beam_finetune_iters``: the final N steps resolve to the exact beam
+    even under a kernel ``train_search``, and the extra step_many chunk
+    split at the switch changes nothing numerically when both sides
+    resolve to the same search."""
+    from quantization_tpu.ops import seqbeam as seqbeam_mod
+
+    # boundary resolution (search string only; no kernel execution)
+    tr = QuantizerTrainer(
+        dim=16, bytes_per_frame=1, phase_one_iters=10, phase_two_iters=10,
+        seed=0, diagnostics=False, train_search="seqbeam",
+        beam_finetune_iters=5,
+    )
+    monkeypatch.setattr(seqbeam_mod, "SEQBEAM_SUPPORTED", lambda cfg: True)
+    # total steps run at cur_iter 0..20; the last 5 are 16..20
+    assert tr._finetune_start() == 16
+    assert tr._search_for_config(15) == "seqbeam"
+    assert tr._search_for_config(16) == "beam"
+    assert tr._search_for_config(20) == "beam"
+
+    # step_many equivalence: finetune on vs off, both beam on CPU — the
+    # only difference is the chunk split at the switch
+    dim = 16
+    sampler = make_mlp_sampler(dim, jax.random.PRNGKey(5))
+    kw = dict(
+        dim=dim, bytes_per_frame=1, phase_one_iters=12, phase_two_iters=12,
+        lr=0.01, seed=7, diagnostics=False,
+    )
+    t1 = QuantizerTrainer(**kw)
+    t2 = QuantizerTrainer(**kw, beam_finetune_iters=5)
+    key = jax.random.PRNGKey(6)
+    batches = []
+    for _ in range(12 + 12 + 1):
+        key, sub = jax.random.split(key)
+        batches.append(sampler(sub, 64))
+    xs = jnp.stack(batches)
+    t1.step_many(xs)
+    t2.step_many(xs)
+    assert t1.done() and t2.done()
+    assert t1.cur_iter == t2.cur_iter
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t1.params),
+        jax.tree_util.tree_leaves(t2.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
 def test_multi_kmeans_init():
     """init='multi_kmeans' seeds phase-1 codebooks from a short
     multi-kmeans fit; to_logits rows start as clones of the fitted
