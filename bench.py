@@ -46,6 +46,17 @@ NORTH_STAR_PER_CHIP = 100e6 / 8.0  # v5p host target, pro-rated per chip
 # bf16 MXU peak of the benchmark chip (TPU v5e: 197 TFLOP/s); override with
 # QTPU_PEAK_TFLOPS for other chip generations.
 PEAK_TFLOPS = float(os.environ.get("QTPU_PEAK_TFLOPS", "197"))
+# Global wall-clock deadline for the whole sweep (round-4 fix: the round-3
+# driver run hit its external timeout mid-sweep, rc=124, and the final JSON
+# never printed).  Candidates that would start with too little budget left
+# are skipped; a best-so-far record is printed after EVERY candidate, so an
+# external kill at any point still leaves a parseable last line.
+DEADLINE_S = float(os.environ.get("QTPU_BENCH_DEADLINE", "2100"))
+_T_START = time.monotonic()
+
+
+def _remaining() -> float:
+    return DEADLINE_S - (time.monotonic() - _T_START)
 
 # Candidate registry: name -> (search_method, refine_iters, kwargs).
 # Headline: fused seqbeam kernel, beam width M=8, per-parent top-R=4,
@@ -67,11 +78,14 @@ CANDIDATES = {
         "seqbeam", 3,
         dict(M=8, R=4, pool_mask="altparity", block_b=256, interleave=2),
     ),
-    "gramv3 int8 M8 R4 x3 allpool il2": (
+}
+# gramv3-int8 lost the throughput race in every round it ran (496K vs
+# 609-700K) yet cost a full compile+run slot; it is opt-in now.
+if os.environ.get("QTPU_BENCH_EXTRA"):
+    CANDIDATES["gramv3 int8 M8 R4 x3 allpool il2"] = (
         "gramv3", 3,
         dict(M=8, R=4, g_dtype="int8", block_b=256, interleave=2),
-    ),
-}
+    )
 FALLBACK = ("beam x5 (kernel-unavailable fallback)", ("beam", 5, {}))
 
 
@@ -177,7 +191,55 @@ def worker(name: str) -> None:
     # per batch would add ~30ms RTT each.
     np.asarray(outs[-1])
     vec_per_sec = (NBATCH - 1) * BATCH / (time.perf_counter() - t0)
-    print(json.dumps({"name": name, "ok": True, "vec_per_sec": vec_per_sec}))
+    result = {"name": name, "ok": True, "vec_per_sec": vec_per_sec}
+    # Quality tie-in (VERDICT r3 weak-item 6): rel reconstruction error of
+    # THIS search config on the trained flagship checkpoint, so the official
+    # artifact carries throughput and quality of the same config.  Guarded:
+    # a failure here must never cost the throughput number.
+    try:
+        result.update(_measure_quality(method, iters, kw))
+    except Exception as e:  # pragma: no cover - diagnostic only
+        result["quality_error"] = repr(e)[:200]
+    print(json.dumps(result))
+
+
+def _measure_quality(method: str, iters: int, kw: dict) -> dict:
+    """Rel reconstruction error of the given search config on the trained
+    dim=512/8B checkpoint, on the same data as experiments/kernel_quality.py
+    (MLP-synthetic sampler key 42, batch 8192, eval key 7), plus the exact
+    beam-5 reference value recorded there."""
+    import jax
+    import jax.numpy as jnp
+
+    from quantization_tpu import core
+    from quantization_tpu.core import codec
+    from quantization_tpu.data.synthetic import make_mlp_sampler
+    from quantization_tpu.utils.serialization import load_quantizer
+
+    here = pathlib.Path(__file__).resolve().parent
+    ckpt = here / "experiments" / "q512_8_full.npz"
+    if not ckpt.exists():
+        return {}
+    q = load_quantizer(ckpt)
+    x = make_mlp_sampler(DIM, jax.random.PRNGKey(42))(jax.random.PRNGKey(7), 8192)
+    indexes = jax.jit(
+        lambda p, x: core.encode(
+            p, q.config, x, refine_indexes_iters=iters, as_bytes=False,
+            search_method=method, **kw,
+        )
+    )(q.params, x)
+    centers = core.scaled_centers(q.params, q.config.scale_speed)
+    recon = codec.decode_indexes(centers, indexes)
+    dmean = jnp.mean(centers, axis=1).sum(axis=0)
+    rel = float(jnp.sum((recon - x) ** 2) / jnp.sum((x - dmean) ** 2))
+    out = {"rel_err_trained": round(rel, 6)}
+    ref_file = here / "experiments" / "kernel_quality_d512_b8.json"
+    if ref_file.exists():
+        ref = json.loads(ref_file.read_text()).get("beam5")
+        if ref:
+            out["rel_err_beam5_ref"] = round(ref, 6)
+            out["quality_delta_pct"] = round(100.0 * (rel / ref - 1.0), 3)
+    return out
 
 
 # ---------------------------------------------------------- orchestrator
@@ -217,46 +279,13 @@ def ensure_chip(tries: int = 4, sleep_s: float = 45.0) -> bool:
     return False
 
 
-def main() -> None:
-    if not ensure_chip():
-        raise RuntimeError("device unavailable for benchmarking "
-                           "(pure-XLA preflight failed in fresh processes)")
-    results = []
-    for name in CANDIDATES:
-        # compiles through the remote Mosaic helper are erratic (60s-25min
-        # observed for the same program); the persistent cache makes the
-        # second run cheap, but the first must not be killed mid-compile
-        r = run_worker(name, timeout=2700)
-        if r.get("ok"):
-            print(f"candidate {name}: {r['vec_per_sec']:.0f} vec/s",
-                  file=sys.stderr)
-            results.append((name, r["vec_per_sec"]))
-        else:
-            print(f"candidate failed: {name}: {r.get('error', '?')}",
-                  file=sys.stderr)
-            # Distinguish "this kernel faults" from "chip went away":
-            # re-preflight in a fresh process before the next candidate.
-            if not ensure_chip():
-                print("chip did not recover; stopping candidate sweep",
-                      file=sys.stderr)
-                break
-    if results:
-        active, vec_per_sec = max(results, key=lambda nv: nv[1])
-    else:
-        # No kernel survived: fall back to the pure-XLA reference-parity
-        # beam in its own fresh process so a number is always produced.
-        print("no kernel available; falling back to XLA beam", file=sys.stderr)
-        name = FALLBACK[0]
-        r = run_worker(name, timeout=900)
-        if not r.get("ok"):
-            raise RuntimeError(
-                f"fallback beam failed in a fresh process: {r.get('error')}")
-        active, vec_per_sec = name, r["vec_per_sec"]
-
-    # Roofline accounting: model matmul FLOPs of the active search config
-    # per vector, achieved FLOP/s, and fraction of the chip's MXU peak
-    # (int8 configs counted against the 2x int8 peak).  A beam fallback
-    # reports the throughput alone, honestly labeled.
+def make_record(active: str, result: dict) -> dict:
+    """The driver-facing JSON record for one measured candidate, with
+    roofline accounting: model matmul FLOPs of the search config per
+    vector, achieved FLOP/s, and fraction of the chip's MXU peak (int8
+    configs counted against the 2x int8 peak).  A beam fallback reports
+    the throughput alone, honestly labeled."""
+    vec_per_sec = result["vec_per_sec"]
     record = {
         "metric": "encode_vectors_per_sec_dim512_8B",
         "value": round(vec_per_sec, 1),
@@ -273,7 +302,56 @@ def main() -> None:
             achieved_tflops=round(tflops, 2),
             mfu=round(tflops / peak, 4),
         )
-    print(json.dumps(record))
+    for k in ("rel_err_trained", "rel_err_beam5_ref", "quality_delta_pct"):
+        if k in result:
+            record[k] = result[k]
+    return record
+
+
+def main() -> None:
+    if not ensure_chip():
+        raise RuntimeError("device unavailable for benchmarking "
+                           "(pure-XLA preflight failed in fresh processes)")
+    best = None  # (vec_per_sec, record)
+    for name in CANDIDATES:
+        # compiles through the remote Mosaic helper are erratic (60s-25min
+        # observed for the same program); the persistent cache makes the
+        # second run cheap, but the first must not be killed mid-compile
+        budget = _remaining()
+        if best is not None and budget < 300:
+            print(f"deadline: skipping remaining candidates at {name!r} "
+                  f"({budget:.0f}s left)", file=sys.stderr)
+            break
+        r = run_worker(name, timeout=max(300.0, min(2700.0, budget)))
+        if r.get("ok"):
+            print(f"candidate {name}: {r['vec_per_sec']:.0f} vec/s",
+                  file=sys.stderr)
+            if best is None or r["vec_per_sec"] > best[0]:
+                best = (r["vec_per_sec"], make_record(name, r))
+            # Best-so-far record after EVERY candidate: the driver takes the
+            # last parseable stdout line, so an external kill mid-sweep
+            # still leaves the best completed measurement on record.
+            print(json.dumps(best[1]), flush=True)
+        else:
+            print(f"candidate failed: {name}: {r.get('error', '?')}",
+                  file=sys.stderr)
+            # Distinguish "this kernel faults" from "chip went away":
+            # re-preflight in a fresh process before the next candidate.
+            if not ensure_chip():
+                print("chip did not recover; stopping candidate sweep",
+                      file=sys.stderr)
+                break
+    if best is None:
+        # No kernel survived: fall back to the pure-XLA reference-parity
+        # beam in its own fresh process so a number is always produced.
+        print("no kernel available; falling back to XLA beam", file=sys.stderr)
+        name = FALLBACK[0]
+        r = run_worker(name, timeout=900)
+        if not r.get("ok"):
+            raise RuntimeError(
+                f"fallback beam failed in a fresh process: {r.get('error')}")
+        best = (r["vec_per_sec"], make_record(name, r))
+    print(json.dumps(best[1]), flush=True)
 
 
 if __name__ == "__main__":

@@ -140,8 +140,11 @@ def main(only: list[str] | None = None) -> None:
                            for t in (p.stderr or "?").strip().splitlines()[-4:])
         except subprocess.TimeoutExpired:
             ok, detail = False, "timeout after 1500s"
+        # per-entry timestamp: with --only, untouched entries keep their own
+        # generated_unix, so freshness is recorded per result (ADVICE r3)
         results[name] = {
             "ok": ok, "detail": detail, "elapsed_s": round(time.time() - t0, 1),
+            "generated_unix": round(time.time(), 1),
         }
         print(f"{'PASS' if ok else 'FAIL':4} {name:28} "
               f"{results[name]['elapsed_s']:7.1f}s  {detail[:120]}", flush=True)

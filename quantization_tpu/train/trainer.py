@@ -194,7 +194,7 @@ class QuantizerTrainer:
         diagnostics: bool = True,
         mesh: Optional[jax.sharding.Mesh] = None,
         train_search: str = "auto",
-        beam_finetune_iters: int = 0,
+        beam_finetune_iters: Optional[int] = None,
         init: str = "default",
         init_data=None,
         init_iters: int = 300,
@@ -225,7 +225,21 @@ class QuantizerTrainer:
         # run ends with exact-search gradient targets (mitigates the
         # compounding above at a fraction of full beam-training cost).
         self.train_search = train_search
-        self.beam_finetune_iters = int(beam_finetune_iters)
+        if beam_finetune_iters is None:
+            # Default: ON (1000 steps) whenever the requested search is a
+            # kernel — measured in-bar at the full d512 schedule (ratio
+            # 1.0057 vs pure-kernel 1.0167,
+            # experiments/head_to_head_d512_b8_10000+10000_seqbeam_ft1000.json);
+            # a no-op for the beam-trained default.
+            beam_finetune_iters = (
+                0 if train_search in ("auto", "beam") else 1000
+            )
+        # Clamped to phase 2: a finetune tail reaching into phase 1 would
+        # not split phase-1 scan chunks at the boundary (ADVICE r3), and the
+        # tail is defined as the END of training regardless.
+        self.beam_finetune_iters = min(
+            int(beam_finetune_iters), phase_two_iters
+        )
 
         if seed is None:
             seed = int.from_bytes(__import__("os").urandom(4), "little")
@@ -474,6 +488,8 @@ class QuantizerTrainer:
             phase_two_iters=self.phase_two_iters,
             two_iter_prob=self.two_iter_prob,
             entropy_scale=self.entropy_scale,
+            train_search=self.train_search,
+            beam_finetune_iters=self.beam_finetune_iters,
             rng_state=self._rng.bit_generator.state["state"]["state"],
             rng_inc=self._rng.bit_generator.state["state"]["inc"],
         )
@@ -503,6 +519,12 @@ class QuantizerTrainer:
             if meta["codebook_size"] == 16
             else meta["num_codebooks"]
         )
+        # Search routing is part of the training run's identity: restore it
+        # from the checkpoint (explicit kwargs still override) so a
+        # kernel-trained run doesn't silently resume on the beam (ADVICE r3).
+        for k in ("train_search", "beam_finetune_iters"):
+            if k in meta:
+                kwargs.setdefault(k, meta[k])
         self = cls(
             meta["dim"],
             bytes_per_frame,

@@ -206,6 +206,36 @@ def test_beam_finetune_boundary_and_equivalence(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
 
 
+def test_beam_finetune_defaults_and_checkpoint_meta(tmp_path):
+    """Round-4 behaviors: the hybrid finetune tail defaults ON for kernel
+    train_search (1000, clamped to phase_two_iters), OFF for beam/auto; and
+    save/load_checkpoint round-trips the search routing (explicit kwargs
+    still override)."""
+    kw = dict(dim=16, bytes_per_frame=1, phase_one_iters=10,
+              phase_two_iters=10, seed=0, diagnostics=False)
+    assert QuantizerTrainer(**kw).beam_finetune_iters == 0
+    assert QuantizerTrainer(**kw, train_search="beam").beam_finetune_iters == 0
+    # kernel search: default 1000, clamped to phase_two_iters=10
+    t = QuantizerTrainer(**kw, train_search="seqbeam")
+    assert t.beam_finetune_iters == 10
+    # explicit values clamp too
+    t = QuantizerTrainer(**kw, train_search="seqbeam", beam_finetune_iters=7)
+    assert t.beam_finetune_iters == 7
+    t = QuantizerTrainer(**kw, train_search="seqbeam", beam_finetune_iters=99)
+    assert t.beam_finetune_iters == 10
+
+    # checkpoint meta round-trip
+    path = tmp_path / "ckpt.npz"
+    t.save_checkpoint(path)
+    t2 = QuantizerTrainer.load_checkpoint(path, diagnostics=False)
+    assert t2.train_search == "seqbeam"
+    assert t2.beam_finetune_iters == 10
+    t3 = QuantizerTrainer.load_checkpoint(
+        path, diagnostics=False, train_search="beam", beam_finetune_iters=0
+    )
+    assert t3.train_search == "beam" and t3.beam_finetune_iters == 0
+
+
 def test_multi_kmeans_init():
     """init='multi_kmeans' seeds phase-1 codebooks from a short
     multi-kmeans fit; to_logits rows start as clones of the fitted
