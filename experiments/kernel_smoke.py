@@ -52,6 +52,14 @@ CONFIGS = {
         dict(M=8, R=4, block_b=256, reorder="wideselect")),
     "seqbeam_bf16e_d512": (512, 8, "seqbeam", 3,
         dict(M=8, R=4, block_b=256, reorder="select", e_dtype="bf16")),
+    # int8-resident E (round 4): int8 E + f32 row scales, int8 centers,
+    # int8 x int8 -> int32 rescore/extension
+    "seqbeam_int8e_d512": (512, 8, "seqbeam", 3,
+        dict(M=8, R=4, pool_mask="altparity", block_b=256, interleave=2,
+             reorder="select", e_dtype="int8")),
+    "seqbeam_int8e_d256": (256, 4, "seqbeam", 2,
+        dict(M=8, R=4, pool_mask="altparity", block_b=256, interleave=2,
+             reorder="select", e_dtype="int8")),
     # v1 implementation
     "seqbeam_v1_d512": (512, 8, "seqbeam", 3,
         dict(M=8, R=4, block_b=128, impl="v1")),

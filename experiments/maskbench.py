@@ -57,6 +57,7 @@ for name in names:
     # name syntax: sched[:block_b[:interleave[:flag...]]]
     # flags: xv = cross_value, sel = reorder="select",
     #        wsel = reorder="wideselect", ebf = e_dtype="bf16",
+    #        ei8 = e_dtype="int8" (int8-resident E, implies sel),
     #        m<N>/r<N>/p<N> = M/R/passes,
     #        v3 = gramv3 kernel (bf16 tables), v3i8 = gramv3 int8 tables
     parts = name.split(":")
@@ -65,7 +66,8 @@ for name in names:
     il = int(parts[2]) if len(parts) > 2 else 1
     flags = parts[3:]
     xv = "xv" in flags
-    ed = "bf16" if "ebf" in flags else "f32"
+    ed = ("int8" if "ei8" in flags
+          else "bf16" if "ebf" in flags else "f32")
     ro = ("wideselect" if "wsel" in flags
           else "select" if "sel" in flags else "gather")
     M = R = p = None

@@ -440,11 +440,15 @@ def _seqbeam_kernel_v2(
     centers_ref,  # (nc*cs, D) bf16
     cs_sumsq_ref,  # (nc, cs) f32
     gmod_ref,  # (nc*cs, cs) bf16: Gmod_t[i, j] = csq[t, j] - 2 c_t(i).c_t(j)
-    # outputs
-    out_ref,  # (B_t, nc) int32
-    # scratch: SUBT sets of (EA, EB, cross, chosenA, chosenB, sol), each
-    # sized for the B_s = B_t // SUBT sub-tile
-    *scratch,
+    # with e_dtype="int8" two more inputs follow:
+    #   centers_i8_ref,  # (nc*cs, D) int8, codebook t scaled by csc[t]
+    #   csc_ref,  # (nc, 1) f32 per-codebook center scales
+    # then the output:
+    #   out_ref,  # (B_t, nc) int32
+    # then scratch: SUBT sets of (EA, EB, cross, chosenA, chosenB, sol[, SA, SB]),
+    # each sized for the B_s = B_t // SUBT sub-tile (SA/SB: per-candidate
+    # f32 dequant scales of the int8 E buffers, ping-ponged with EA/EB)
+    *rest,
     B_t: int,
     D: int,
     nc: int,
@@ -496,8 +500,15 @@ def _seqbeam_kernel_v2(
     assert B_s in (64, 128, 256) and cs == 256 and nc % 2 == 0
     # pool packing: j (8 bits) + parent (log2 M bits) in the low mantissa
     assert M & (M - 1) == 0 and M * R <= 512, (M, R)
-    assert len(scratch) == 6 * SUBT, len(scratch)
-    ctxs = [tuple(scratch[i * 6 : (i + 1) * 6]) for i in range(SUBT)]
+    INT8 = e_dtype == "int8"
+    if INT8:
+        centers_i8_ref, csc_ref, out_ref, *scratch = rest
+    else:
+        centers_i8_ref = csc_ref = None
+        out_ref, *scratch = rest
+    NCTX = 8 if INT8 else 6
+    assert len(scratch) == NCTX * SUBT, len(scratch)
+    ctxs = [tuple(scratch[i * NCTX : (i + 1) * NCTX]) for i in range(SUBT)]
     G = M // 8  # gather groups
     CW = max(128, B_s)  # chosen-row lane width (must match scratch shape)
     f32 = jnp.float32
@@ -512,9 +523,17 @@ def _seqbeam_kernel_v2(
     # E += c_delta accumulation rounds at bf16 (quality measured at +0.01%
     # of the f32 variant, experiments/e_bf16_quality_d512_b8.json).  The
     # dynamic_gather reorder is f32/int32-only, hence the gate.
-    ED = jnp.bfloat16 if e_dtype == "bf16" else jnp.float32
+    # int8: E stored int8 with per-candidate f32 scales (requantized after
+    # every extension); rescore and extension run int8 x int8 -> int32 on
+    # the MXU's 2x-peak path (capability + 1.68x speed incl. the requant
+    # VPU work proven on-chip, experiments/int8_mxu_probe.log; search
+    # quality screened kernel-faithfully in experiments/int8ec_quality.py).
+    ED = {"f32": jnp.float32, "bf16": jnp.bfloat16, "int8": jnp.int8}[e_dtype]
     assert e_dtype == "f32" or reorder in ("select", "wideselect"), (
         e_dtype, reorder)
+    assert not INT8 or (reorder == "select" and not cross_value), (
+        "int8 E supports the select-tree reorder with the cross scratch ref"
+    )
 
     def pad_row(row):  # (rows, B_s) -> (rows, CW)
         if B_s == CW:
@@ -566,7 +585,8 @@ def _seqbeam_kernel_v2(
         return outs
 
     def codebook_step_phases(t, ctx, src, dst_ref, ss_col, first, last,
-                             ch_src, ch_dst, pool=True):
+                             ch_src, ch_dst, pool=True,
+                             s_src=None, s_dst=None):
         """One beam step on codebook t for one sub-tile, split into four
         phases so the driver can ZIP phases across independent sub-tiles:
 
@@ -595,13 +615,16 @@ def _seqbeam_kernel_v2(
         the reference beam-5 (outside the 1% bar); mixed schedules that
         keep a fraction of pool steps recover the quality at a fraction of
         the bookkeeping cost (experiments/pool_schedule_sweep.py)."""
-        _, _, cross_ref, _, _, sol_ref = ctx
+        cross_ref, sol_ref = ctx[2], ctx[5]
         st = {}  # values handed between phases
 
         def ph0_rescore():
             sol_t = sol_ref[pl.ds(t * B_s, B_s), :]  # (B_s, 1)
             ctab = centers_ref[pl.ds(t * cs, cs), :]  # (cs, D) bf16
             oh_cur = onehot_bt(sol_t)
+            if INT8:
+                st["ctab_i8"] = centers_i8_ref[pl.ds(t * cs, cs), :]
+                st["csc_t"] = csc_ref[pl.ds(t, 1), :]  # (1, 1) f32
             # shared per-frame score row csq[j] - 2 c_t(i_t).c_t(j)
             if "shared" in _SKIP and not first:
                 shared = jnp.zeros((B_s, cs), f32)
@@ -621,7 +644,15 @@ def _seqbeam_kernel_v2(
                 # can make Mosaic's scheduler order the phases of
                 # INDEPENDENT sub-tiles (coarse memory disambiguation),
                 # defeating the phase-zip's intended MXU/VPU overlap.
-                if cross_value:
+                if INT8:
+                    # int8 x int8 -> int32 (2x MXU peak); dequant scales
+                    # (per-candidate row x per-codebook csc) applied in ph1
+                    cross_ref[:, :] = jax.lax.dot_general(
+                        src[:, :], st["ctab_i8"],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                elif cross_value:
                     st["cross"] = matmul_nt(src[:, :], ctab)
                 else:
                     cross_ref[:, :] = matmul_nt(src[:, :], ctab)
@@ -650,6 +681,11 @@ def _seqbeam_kernel_v2(
                 parent = None
             else:
                 cross = st["cross"] if cross_value else cross_ref[:, :]
+                if INT8:
+                    # dequant: int32 counts x (E row scale x codebook scale)
+                    cross = cross.astype(f32) * (
+                        s_src[:, :] * st["csc_t"]
+                    )
                 if "assembly" in _SKIP:
                     S_full = cross
                 else:
@@ -802,13 +838,111 @@ def _seqbeam_kernel_v2(
             if "ext" in _SKIP:
                 st["c_delta"] = None
                 return
+            if INT8 and not first:
+                # one-hot difference is exactly representable in int8, so
+                # the extension matmul rides the 2x int8 path too.  Its
+                # int32 result is in csc[t] units; ph3 works in those units
+                # end-to-end (scalars only ever multiply data-dependent
+                # COLUMNS — a (rows, D) x (1, 1) product lowers to a
+                # both-sublanes-and-lanes vector broadcast Mosaic rejects).
+                # The first step uses the bf16 path below: its source e is
+                # a f32 value in absolute units and only 1/M-sized work.
+                # difference formed in f32 then converted: Mosaic has no
+                # int8 subtraction (arith.subi on i8 fails to legalize)
+                oh_diff_i8 = (
+                    (lane_full == st["j_col"]).astype(f32)
+                    - (lane_full == jnp.concatenate(
+                        [st["sol_t"]] * M, axis=0)).astype(f32)
+                ).astype(jnp.int8)
+                st["c_delta_i32"] = jax.lax.dot_general(
+                    oh_diff_i8, st["ctab_i8"],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )  # (M*B_s, D)
+                return
             oh_diff = (lane_full == st["j_col"]).astype(bf16) - jnp.concatenate(
                 [st["oh_cur"]] * M, axis=0
             )
             st["c_delta"] = matmul(oh_diff, st["ctab"])  # (M*B_s, D)
 
+        def requant_rows(ef):
+            """Symmetric per-row int8 requantize of a f32 block: returns
+            (int8 values, f32 scales column).  round(ef/s) is <= 127 in
+            magnitude by construction of s, so no clip is needed."""
+            s = jnp.max(jnp.abs(ef), axis=1, keepdims=True) * (1.0 / 127.0)
+            s = jnp.maximum(s, 1e-20)
+            return jnp.round(ef * (1.0 / s)).astype(jnp.int8), s
+
         def ph3_move():
             if last:
+                return
+            if INT8:
+                # All arithmetic below runs in csc[t] UNITS: the int32
+                # extension term adds raw, the incoming E scales are
+                # divided by csc[t] (a column x (1,1) product — sublane
+                # broadcast only), and the new scales are multiplied back.
+                # Mathematically identical to absolute units (positive
+                # scalar), and no (rows, D) x (1, 1) product ever forms —
+                # Mosaic rejects that broadcast shape.
+                cdi = st.get("c_delta_i32")
+                csc_t = st["csc_t"]  # (1, 1)
+                inv_csc = 1.0 / csc_t
+                if first:
+                    # bf16 extension (absolute units): see ph2.
+                    c_delta = st.get("c_delta")
+                    if c_delta is not None:
+                        e_stack = jnp.concatenate([src] * M, axis=0)
+                        q, s = requant_rows(e_stack + c_delta)
+                        dst_ref[:, :] = q
+                        s_dst[:, :] = s
+                elif not pool or "reorder" in _SKIP:
+                    # R1: no reorder — dequant + extend + requant in place
+                    # (dst_ref is src, s_dst is s_src).
+                    s_adj = s_src[:, :] * inv_csc  # (M*B_s, 1)
+                    ef_u = src[:, :].astype(f32) * s_adj
+                    if cdi is not None:
+                        ef_u = ef_u + cdi.astype(f32)
+                    q, s_u = requant_rows(ef_u)
+                    dst_ref[:, :] = q
+                    s_dst[:, :] = s_u * csc_t
+                else:
+                    # select-tree beam reorder on the int8 rows AND the f32
+                    # scale columns (same parent bits), then dequant +
+                    # extend + requant per destination block.
+                    src_blocks = [
+                        src[p * B_s : (p + 1) * B_s, :] for p in range(M)
+                    ]
+                    s_blocks = [
+                        s_src[p * B_s : (p + 1) * B_s, :] * inv_csc
+                        for p in range(M)
+                    ]
+                    for m in range(M):
+                        cond = jnp.sum(
+                            jnp.where(lane_m == m, st["parent"], 0),
+                            axis=1,
+                            keepdims=True,
+                        )  # (B_s, 1) parent index for dst block m
+                        lev_e, lev_s = src_blocks, s_blocks
+                        bit = 1
+                        while len(lev_e) > 1:
+                            sel = (cond & bit) != 0
+                            lev_e = [
+                                jnp.where(sel, lev_e[2 * i + 1], lev_e[2 * i])
+                                for i in range(len(lev_e) // 2)
+                            ]
+                            lev_s = [
+                                jnp.where(sel, lev_s[2 * i + 1], lev_s[2 * i])
+                                for i in range(len(lev_s) // 2)
+                            ]
+                            bit <<= 1
+                        ef_u = lev_e[0].astype(f32) * lev_s[0]
+                        if cdi is not None:
+                            ef_u = ef_u + cdi.astype(f32)[
+                                m * B_s : (m + 1) * B_s, :
+                            ]
+                        q, s_u = requant_rows(ef_u)
+                        dst_ref[m * B_s : (m + 1) * B_s, :] = q
+                        s_dst[m * B_s : (m + 1) * B_s, :] = s_u * csc_t
                 return
             c_delta = st["c_delta"]
             if first:
@@ -943,9 +1077,10 @@ def _seqbeam_kernel_v2(
         return out
 
     def codebook_step(t, ctx, src, dst_ref, ss_col, first, last, ch_src,
-                      ch_dst, pool=True):
+                      ch_dst, pool=True, s_src=None, s_dst=None):
         return run_zipped(
-            [(t, ctx, src, dst_ref, ss_col, first, last, ch_src, ch_dst, pool)]
+            [(t, ctx, src, dst_ref, ss_col, first, last, ch_src, ch_dst,
+              pool, s_src, s_dst)]
         )[0]
 
     x = x_ref[:]  # (B_t, D)
@@ -957,7 +1092,7 @@ def _seqbeam_kernel_v2(
         sss = []
         for sub in range(SUBT):
             ctx = ctxs[sub]
-            EA_ref, _, _, chosenA, _, sol_ref = ctx
+            EA_ref, chosenA, sol_ref = ctx[0], ctx[3], ctx[5]
             x_s = jax.lax.slice(x, (sub * B_s, 0), ((sub + 1) * B_s, D))
 
             def add_codebook(s, acc, sol_ref=sol_ref):
@@ -971,8 +1106,12 @@ def _seqbeam_kernel_v2(
             # B->A; nc is even so the last (odd) step leaves state in B.
             sss.append(
                 codebook_step(0, ctx, e, EA_ref, None, True, False,
-                              chosenA, chosenA)
+                              chosenA, chosenA,
+                              s_dst=ctx[6] if INT8 else None)
             )
+
+        def _s(ctx, i):  # scale ref riding with E buffer i (int8 only)
+            return ctx[6 + i] if INT8 else None
 
         if mask is None:
             def pair_step(i, sss):
@@ -982,14 +1121,14 @@ def _seqbeam_kernel_v2(
                         out = run_zipped([
                             (2 * i + 1, ctxs[s], ctxs[s][0], ctxs[s][1],
                              out[s], False, False, ctxs[s][3], ctxs[s][4],
-                             True)
+                             True, _s(ctxs[s], 0), _s(ctxs[s], 1))
                             for s in range(SUBT)
                         ])
                     else:
                         out = run_zipped([
                             (2 * i + 2, ctxs[s], ctxs[s][1], ctxs[s][0],
                              out[s], False, False, ctxs[s][4], ctxs[s][3],
-                             True)
+                             True, _s(ctxs[s], 1), _s(ctxs[s], 0))
                             for s in range(SUBT)
                         ])
                 return tuple(out)
@@ -1000,7 +1139,8 @@ def _seqbeam_kernel_v2(
             sss = list(sss)
             sss = run_zipped([
                 (nc - 1, ctxs[s], ctxs[s][0], ctxs[s][1], sss[s],
-                 False, True, ctxs[s][3], ctxs[s][4], True)
+                 False, True, ctxs[s][3], ctxs[s][4], True,
+                 _s(ctxs[s], 0), _s(ctxs[s], 1))
                 for s in range(SUBT)
             ])
             ch_fin = 4  # chosenB: nc even -> odd number of gather steps
@@ -1017,7 +1157,8 @@ def _seqbeam_kernel_v2(
                 if pool:
                     sss = run_zipped([
                         (t, ctxs[s], ctxs[s][e_cur], ctxs[s][e_alt], sss[s],
-                         False, last, ctxs[s][ch_cur], ctxs[s][ch_alt], True)
+                         False, last, ctxs[s][ch_cur], ctxs[s][ch_alt], True,
+                         _s(ctxs[s], e_cur), _s(ctxs[s], e_alt))
                         for s in range(SUBT)
                     ])
                     e_cur, e_alt = e_alt, e_cur
@@ -1025,7 +1166,8 @@ def _seqbeam_kernel_v2(
                 else:
                     sss = run_zipped([
                         (t, ctxs[s], ctxs[s][e_cur], ctxs[s][e_cur], sss[s],
-                         False, last, ctxs[s][ch_cur], ctxs[s][ch_cur], False)
+                         False, last, ctxs[s][ch_cur], ctxs[s][ch_cur], False,
+                         _s(ctxs[s], e_cur), _s(ctxs[s], e_cur))
                         for s in range(SUBT)
                     ])
             ch_fin = ch_cur
@@ -1144,10 +1286,16 @@ def seqbeam_encode_indexes(
     FLOP-dead: the (M*B_s, M*B_s) x (M*B_s, D) contraction costs ~60x the
     rescore matmul because the MXU cannot exploit the one-hot sparsity.)
 
-    ``e_dtype`` (v2 + select reorders only): "f32" (default) or "bf16"
-    storage for the candidate error buffers.  Rescore already casts E to
-    bf16, so bf16 storage only adds rounding at the per-step E += c_delta
-    accumulation; it halves the reorder/extension traffic."""
+    ``e_dtype`` (v2 + select reorders only): "f32" (default), "bf16", or
+    "int8" storage for the candidate error buffers.  Rescore already casts
+    E to bf16, so bf16 storage only adds rounding at the per-step
+    E += c_delta accumulation; it halves the reorder/extension traffic.
+    "int8" (select reorder only) keeps E as int8 with per-candidate f32
+    scales (requantized after every extension) and quantizes the centers
+    per-codebook, so rescore AND extension run int8 x int8 -> int32 on the
+    MXU's 2x int8 peak; search quality is measured identical to f32/bf16
+    on the trained flagship (+0.96% vs beam-5,
+    experiments/int8ec_quality_d512_b8.json)."""
     assert SEQBEAM_SUPPORTED(config), config
     assert impl == "v2" or e_dtype == "f32", (impl, e_dtype)
     if pool_mask is not None:
@@ -1186,11 +1334,15 @@ def seqbeam_encode_indexes(
         B_s = block_b // SUBT
         if B_s not in (64, 128, 256):
             SUBT, B_s = 1, block_b
-        assert e_dtype in ("f32", "bf16"), e_dtype
+        assert e_dtype in ("f32", "bf16", "int8"), e_dtype
         assert e_dtype == "f32" or reorder in ("select", "wideselect"), (
-            "bf16 E requires a select-tree reorder (dynamic_gather is "
+            "bf16/int8 E requires a select-tree reorder (dynamic_gather is "
             "f32/int32-only)")
-        _ED = jnp.bfloat16 if e_dtype == "bf16" else jnp.float32
+        int8 = e_dtype == "int8"
+        assert not int8 or (reorder == "select" and not cross_value)
+        _ED = {"f32": jnp.float32, "bf16": jnp.bfloat16, "int8": jnp.int8}[
+            e_dtype
+        ]
         scratch = []
         for _ in range(SUBT):
             scratch += [
@@ -1199,12 +1351,19 @@ def seqbeam_encode_indexes(
                 # cross scratch is dead under cross_value — allocate a
                 # dummy tile to return the VMEM to the compiler's temps
                 pltpu.VMEM(
-                    (8, 128) if cross_value else (M * B_s, cs), jnp.float32
+                    (8, 128) if cross_value else (M * B_s, cs),
+                    jnp.int32 if int8 else jnp.float32,
                 ),
                 pltpu.VMEM((M * nc, max(128, B_s)), jnp.int32),
                 pltpu.VMEM((M * nc, max(128, B_s)), jnp.int32),
                 pltpu.VMEM((nc * B_s, 1), jnp.int32),
             ]
+            if int8:
+                # per-candidate f32 dequant scales riding with EA/EB
+                scratch += [
+                    pltpu.VMEM((M * B_s, 1), jnp.float32),
+                    pltpu.VMEM((M * B_s, 1), jnp.float32),
+                ]
         kernel = functools.partial(
             _seqbeam_kernel_v2, B_t=block_b, D=D, nc=nc, cs=cs, M=M, R=R,
             passes=passes, SUBT=SUBT, pool_mask=pool_mask,
@@ -1235,6 +1394,26 @@ def seqbeam_encode_indexes(
             pl.BlockSpec((nc * cs, cs), lambda i: (0, 0), memory_space=pltpu.VMEM)
         )
         inputs.append(gmod_flat)
+        if e_dtype == "int8":
+            # symmetric per-codebook int8 centers + f32 scales: quality
+            # screened kernel-faithfully at +0.96% vs beam-5 on the trained
+            # flagship — identical to the f32/bf16 kernel
+            # (experiments/int8ec_quality_d512_b8.json, "int8EC-block").
+            amax = jnp.max(jnp.abs(centers), axis=(1, 2))  # (nc,)
+            csc = jnp.where(amax > 0, amax / 127.0, 1.0)
+            centers_i8 = jnp.round(
+                centers / csc[:, None, None]
+            ).astype(jnp.int8).reshape(nc * cs, D)
+            in_specs.append(
+                pl.BlockSpec(
+                    (nc * cs, D), lambda i: (0, 0), memory_space=pltpu.VMEM
+                )
+            )
+            in_specs.append(
+                pl.BlockSpec((nc, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            )
+            inputs.append(centers_i8)
+            inputs.append(csc.reshape(nc, 1))
     grid = (B_pad // block_b,)
     out = pl.pallas_call(
         kernel,

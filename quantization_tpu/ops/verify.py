@@ -20,6 +20,7 @@ import json
 import pathlib
 
 _TABLE = pathlib.Path(__file__).with_name("verified.json")
+_QUALITY = pathlib.Path(__file__).with_name("quality.json")
 
 
 @functools.lru_cache(maxsize=1)
@@ -30,7 +31,29 @@ def _load() -> dict:
         return {}
 
 
+@functools.lru_cache(maxsize=1)
+def _load_quality() -> dict:
+    try:
+        return json.loads(_QUALITY.read_text())["results"]
+    except Exception:
+        return {}
+
+
 def kernel_verified(name: str) -> bool:
     """True iff the named smoke-gate config passed on real hardware."""
     entry = _load().get(name)
     return bool(entry and entry.get("ok"))
+
+
+def quality_delta_pct(name: str):
+    """Worst measured rel-reconstruction-error delta (percent vs the exact
+    beam-5 search, max over eval seeds) of the named config on the trained
+    flagship, from ``quality.json`` (written by
+    experiments/kernel_quality.py on real hardware).  None when the config
+    has no measurement — the ``auto`` margin guard then treats the config
+    as documented-but-unguarded and does not demote it (the smoke gate
+    still applies)."""
+    entry = _load_quality().get(name)
+    if not entry:
+        return None
+    return entry.get("max_delta_pct")

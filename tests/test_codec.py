@@ -118,3 +118,52 @@ def test_auto_with_kwargs_off_tpu_raises():
     x = jax.random.normal(jax.random.PRNGKey(4), (32, 128))
     with pytest.raises(ValueError, match="seqbeam"):
         core.encode(params, config, x, 5, search_method="auto", M=32)
+
+
+def test_auto_margin_guard_demotes_out_of_bar_config(monkeypatch):
+    """The auto margin guard (VERDICT r3): a candidate whose measured
+    on-chip quality delta exceeds the 1% bar is never auto-selected — auto
+    demotes to the next candidate, and to the exact beam when all kernel
+    candidates are out of bar.  Routing is exercised by faking the TPU
+    backend and the hardware tables; the kernel call itself is stubbed."""
+    import jax
+
+    from quantization_tpu import core
+    from quantization_tpu.ops import seqbeam as seqbeam_mod
+    from quantization_tpu.ops import verify as verify_mod
+
+    config = core.QuantizerConfig(dim=512, codebook_size=256, num_codebooks=8)
+    params = core.init_quantizer_params(jax.random.PRNGKey(0), config)
+    x = jax.random.normal(jax.random.PRNGKey(1), (32, 512))
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(verify_mod, "kernel_verified", lambda name: True)
+    calls = []
+
+    def fake_kernel(params, config, x, **kw):
+        calls.append(kw)
+        return jnp.zeros((x.shape[0], config.num_codebooks), jnp.int32)
+
+    monkeypatch.setattr(seqbeam_mod, "seqbeam_encode_indexes", fake_kernel)
+
+    quality = {}
+    monkeypatch.setattr(
+        verify_mod, "quality_delta_pct", lambda name: quality.get(name)
+    )
+
+    # no measurements -> headline config (M=8, 3 passes)
+    core.encode(params, config, x, 5, search_method="auto")
+    assert calls[-1]["M"] == 8 and calls[-1]["passes"] == 3
+
+    # headline out of bar -> demote to the M16 margin config (2 passes)
+    quality = {"seqbeam_hl_d512": 1.4, "seqbeam_m16_d512": 0.75}
+    core.encode(params, config, x, 5, search_method="auto")
+    assert calls[-1]["M"] == 16 and calls[-1]["passes"] == 2
+
+    # everything out of bar -> exact beam (kernel never called)
+    quality = {"seqbeam_hl_d512": 1.4, "seqbeam_m16_d512": 1.2}
+    n = len(calls)
+    out = core.encode(params, config, x, 5, search_method="auto")
+    assert len(calls) == n  # no kernel dispatch
+    ref = core.encode(params, config, x, 5, search_method="beam")
+    assert (np.asarray(out) == np.asarray(ref)).all()

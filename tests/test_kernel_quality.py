@@ -84,6 +84,23 @@ def test_seqbeam_auto_config_within_bar(trained):
 
 
 @pytest.mark.slow
+def test_seqbeam_int8_within_bar(trained):
+    # the int8-resident-E config (round 4): int8 E with per-candidate f32
+    # scales, per-codebook int8 centers, int8 x int8 -> int32 rescore and
+    # extension (sim: +0.96% at d512, identical to f32/bf16,
+    # experiments/int8ec_quality_d512_b8.json)
+    q, x, sse, beam5 = trained
+    kernel = sse(
+        seqbeam_encode_indexes(
+            q.params, q.config, x, M=8, R=4, passes=2,
+            pool_mask="altparity", block_b=256, interleave=2,
+            reorder="select", e_dtype="int8", interpret=True,
+        )
+    )
+    assert kernel <= beam5 * BAR, (kernel / beam5, kernel, beam5)
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("g_dtype", ["bf16", "int8"])
 def test_gramv3_within_bar(trained, g_dtype):
     q, x, sse, beam5 = trained
