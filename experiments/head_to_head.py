@@ -33,6 +33,11 @@ SEARCH = os.environ.get("QTPU_H2H_SEARCH", "beam")
 # encode then also uses the exact beam (the finetuned codebooks' natural
 # decoder-side search).
 FT = int(os.environ.get("QTPU_H2H_FT", "0"))
+# QTPU_H2H_SEED=N seeds the ours-side trainer (init + per-step refine-count
+# draws); the data stream and the torch leg stay fixed, so different seeds
+# give replicates of the ours-side training against the SAME torch anchor
+# (the error bar on the parity ratio, VERDICT r3 item 4).
+OURS_SEED = int(os.environ.get("QTPU_H2H_SEED", "0"))
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 REFERENCE = "/root/reference"
@@ -71,7 +76,8 @@ print(f"data ready: {len(batches)} batches of {batch}x{dim}", flush=True)
 
 HERE = pathlib.Path(__file__).parent
 STEM = f"head_to_head_d{dim}_b{bpf}_{p1}+{p2}" + (
-    "" if SEARCH == "beam" else f"_{SEARCH}") + (f"_ft{FT}" if FT else "")
+    "" if SEARCH == "beam" else f"_{SEARCH}") + (f"_ft{FT}" if FT else "") + (
+    f"_seed{OURS_SEED}" if OURS_SEED else "")
 
 # ---------------------------------------------------------------- ours
 side_results = {}
@@ -80,7 +86,8 @@ if SIDE in ("both", "ours"):
 
     t0 = time.time()
     ours = OurTrainer(dim=dim, bytes_per_frame=bpf, phase_one_iters=p1,
-                      phase_two_iters=p2, lr=0.005, seed=0, diagnostics=False,
+                      phase_two_iters=p2, lr=0.005, seed=OURS_SEED,
+                      diagnostics=False,
                       train_search=SEARCH, beam_finetune_iters=FT)
     i = 0
     while not ours.done():

@@ -72,11 +72,22 @@ def quant_centers(cscale):
     return jnp.round(centers / s).clip(-127, 127) * s
 
 
-def seqbeam_pass(x, indexes, M, R, pool_steps, centers_q):
+def seqbeam_pass(x, indexes, M, R, pool_steps, centers_q, fixed_scale=False):
+    """``fixed_scale``: per-row scales frozen at pass init — extensions
+    become integer adds q += round(c_delta/s) with clip to [-127, 127]
+    (no per-step max-abs requantize; absolute quantization error instead
+    of row-max-relative)."""
     B = x.shape[0]
     onehot = jax.nn.one_hot(indexes, cs, dtype=jnp.float32)
     recon = jnp.einsum("bnk,nkd->bd", onehot, centers)  # pass init: exact C
-    E = quant_rows((recon - x)[:, None, :])  # (B, 1, D)
+    E0 = (recon - x)[:, None, :]  # (B, 1, D)
+    if fixed_scale:
+        s = jnp.maximum(
+            jnp.max(jnp.abs(E0), axis=-1, keepdims=True) / 127.0, 1e-20)
+        q = jnp.round(E0 / s).clip(-127, 127)  # integer values in f32
+        E = q * s
+    else:
+        E = quant_rows(E0)
     ss = jnp.sum(E ** 2, axis=-1)  # carried ||E||^2 of the STORED E
     chosen = indexes[:, None, :]
     for t in range(nc):
@@ -112,8 +123,13 @@ def seqbeam_pass(x, indexes, M, R, pool_steps, centers_q):
         oh_old = jax.nn.one_hot(
             jnp.take_along_axis(i_cur, parent, axis=1), cs, dtype=jnp.float32)
         c_delta = jnp.einsum("bmk,kd->bmd", oh_new - oh_old, centers_q[t])
-        E_par = jnp.take_along_axis(E, parent[:, :, None], axis=1)
-        E = quant_rows(E_par + c_delta)
+        if fixed_scale:
+            q_par = jnp.take_along_axis(q, parent[:, :, None], axis=1)
+            q = (q_par + jnp.round(c_delta / s)).clip(-127, 127)
+            E = q * s
+        else:
+            E_par = jnp.take_along_axis(E, parent[:, :, None], axis=1)
+            E = quant_rows(E_par + c_delta)
         chosen = jnp.take_along_axis(chosen, parent[:, :, None], axis=1)
         chosen = chosen.at[:, :, t].set(j)
         ss = vals
@@ -121,11 +137,11 @@ def seqbeam_pass(x, indexes, M, R, pool_steps, centers_q):
     return jnp.take_along_axis(chosen, best[:, None, None], axis=1)[:, 0, :]
 
 
-def encode_cfg(x, M, R, schedule, centers_q):
+def encode_cfg(x, M, R, schedule, centers_q, fixed_scale=False):
     logits = search.compute_logits(params, config, x)
     idx = jnp.argmax(logits, -1).astype(jnp.int32)
     for pool_steps in schedule:
-        idx = seqbeam_pass(x, idx, M, R, pool_steps, centers_q)
+        idx = seqbeam_pass(x, idx, M, R, pool_steps, centers_q, fixed_scale)
     return idx
 
 
@@ -149,6 +165,15 @@ for cscale in ("block", "row"):
         results[f"int8EC-{cscale} {sname}"] = e
         print(f"int8EC-{cscale:5s} {sname:10s} {e:.5f}  "
               f"({100*(e/ref-1):+.2f}%)", flush=True)
+
+# fixed-per-pass scales (integer-add extensions with clip)
+cq = quant_centers("block")
+for sname, sched in (("altparity", ALT), ("allpool", ALL)):
+    e = rel_err(jax.jit(
+        lambda x, s=sched, c=cq: encode_cfg(x, M, R, s, c, True))(x))
+    results[f"int8EC-fixedscale {sname}"] = e
+    print(f"int8EC-fixed {sname:10s} {e:.5f}  "
+          f"({100*(e/ref-1):+.2f}%)", flush=True)
 
 (HERE / f"int8ec_quality_d{dim}_b{bpf}.json").write_text(
     json.dumps(dict(dim=dim, bpf=bpf, M=M, R=R, **results)))

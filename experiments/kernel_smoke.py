@@ -54,8 +54,11 @@ CONFIGS = {
         dict(M=8, R=4, block_b=256, reorder="select", e_dtype="bf16")),
     # int8-resident E (round 4): int8 E + f32 row scales, int8 centers,
     # int8 x int8 -> int32 rescore/extension
+    # block_b=512 (a REGRESSION for bf16 E, ab_r3c) wins for int8: the
+    # halved E bytes fit the bigger tile and amortize per-op overhead —
+    # 789.6K vs 682.8K (block 256) vs 639.2K (bf16) vec/s at B=32K
     "seqbeam_int8e_d512": (512, 8, "seqbeam", 3,
-        dict(M=8, R=4, pool_mask="altparity", block_b=256, interleave=2,
+        dict(M=8, R=4, pool_mask="altparity", block_b=512, interleave=2,
              reorder="select", e_dtype="int8")),
     "seqbeam_int8e_d256": (256, 4, "seqbeam", 2,
         dict(M=8, R=4, pool_mask="altparity", block_b=256, interleave=2,

@@ -58,6 +58,7 @@ for name in names:
     # flags: xv = cross_value, sel = reorder="select",
     #        wsel = reorder="wideselect", ebf = e_dtype="bf16",
     #        ei8 = e_dtype="int8" (int8-resident E, implies sel),
+    #        ei8f = int8 E with per-pass fixed scales (requant="pass"),
     #        m<N>/r<N>/p<N> = M/R/passes,
     #        v3 = gramv3 kernel (bf16 tables), v3i8 = gramv3 int8 tables
     parts = name.split(":")
@@ -66,8 +67,9 @@ for name in names:
     il = int(parts[2]) if len(parts) > 2 else 1
     flags = parts[3:]
     xv = "xv" in flags
-    ed = ("int8" if "ei8" in flags
+    ed = ("int8" if "ei8" in flags or "ei8f" in flags
           else "bf16" if "ebf" in flags else "f32")
+    rq = "pass" if "ei8f" in flags else "step"
     ro = ("wideselect" if "wsel" in flags
           else "select" if "sel" in flags else "gather")
     M = R = p = None
@@ -89,9 +91,10 @@ for name in names:
             interleave=il, g_dtype=gd))
     else:
         f = jax.jit(lambda x, m=mask, bb=bb, il=il, xv=xv, ro=ro, M=M, R=R,
-                    p=p, ed=ed: seqbeam.seqbeam_encode_indexes(
+                    p=p, ed=ed, rq=rq: seqbeam.seqbeam_encode_indexes(
             params, cfg, x, M=M, R=R, passes=p, pool_mask=m, block_b=bb,
-            interleave=il, cross_value=xv, reorder=ro, e_dtype=ed))
+            interleave=il, cross_value=xv, reorder=ro, e_dtype=ed,
+            requant=rq))
     try:
         t0 = time.perf_counter()
         dt = fetch_time(f)

@@ -48,7 +48,7 @@ if dim == 512:
             M=16, R=4, block_b=256, interleave=2,
             reorder="select", e_dtype="bf16")),
         "seqbeam_int8e_d512": (3, dict(
-            M=8, R=4, pool_mask="altparity", block_b=256, interleave=2,
+            M=8, R=4, pool_mask="altparity", block_b=512, interleave=2,
             reorder="select", e_dtype="int8")),
     }
 else:

@@ -461,6 +461,7 @@ def _seqbeam_kernel_v2(
     cross_value: bool = False,
     reorder: str = "gather",
     e_dtype: str = "f32",
+    requant: str = "step",
 ):
     """Restructured sequential-beam kernel (v2).
 
@@ -534,6 +535,14 @@ def _seqbeam_kernel_v2(
     assert not INT8 or (reorder == "select" and not cross_value), (
         "int8 E supports the select-tree reorder with the cross scratch ref"
     )
+    # requant="pass" (int8 only): per-frame scales FROZEN at pass init from
+    # the root error (identical across beam slots, so they never reorder);
+    # extensions become integer adds q += round(c_delta/s) clipped to
+    # [-127, 127] — no per-step max-abs reduce, no scale select-trees.
+    # Quality screened at +0.98% vs beam-5 (step-requant: +0.96%),
+    # experiments/int8ec_quality_d512_b8.json "int8EC-fixedscale".
+    assert requant in ("step", "pass") and (requant == "step" or INT8)
+    FIXS = requant == "pass"
 
     def pad_row(row):  # (rows, B_s) -> (rows, CW)
         if B_s == CW:
@@ -892,9 +901,70 @@ def _seqbeam_kernel_v2(
                     c_delta = st.get("c_delta")
                     if c_delta is not None:
                         e_stack = jnp.concatenate([src] * M, axis=0)
-                        q, s = requant_rows(e_stack + c_delta)
-                        dst_ref[:, :] = q
-                        s_dst[:, :] = s
+                        if FIXS:
+                            # scales from the ROOT error (pre-extension):
+                            # identical across beam slots by construction,
+                            # so they never need reordering
+                            s0 = jnp.maximum(
+                                jnp.max(jnp.abs(src), axis=1, keepdims=True)
+                                * (1.0 / 127.0),
+                                1e-20,
+                            )
+                            s_stack = jnp.concatenate([s0] * M, axis=0)
+                            s_dst[:, :] = s_stack
+                            q = jnp.clip(
+                                jnp.round(
+                                    (e_stack + c_delta) * (1.0 / s_stack)
+                                ),
+                                -127.0, 127.0,
+                            ).astype(jnp.int8)
+                            dst_ref[:, :] = q
+                        else:
+                            q, s = requant_rows(e_stack + c_delta)
+                            dst_ref[:, :] = q
+                            s_dst[:, :] = s
+                elif FIXS:
+                    cdi_f = None if cdi is None else cdi.astype(f32)
+                    if not pool or "reorder" in _SKIP:
+                        col = csc_t * (1.0 / s_src[:, :])  # (M*B_s, 1)
+                        qf = src[:, :].astype(f32)
+                        if cdi_f is not None:
+                            qf = qf + jnp.round(cdi_f * col)
+                        dst_ref[:, :] = jnp.clip(qf, -127.0, 127.0).astype(
+                            jnp.int8
+                        )
+                    else:
+                        src_blocks = [
+                            src[p * B_s : (p + 1) * B_s, :] for p in range(M)
+                        ]
+                        for m in range(M):
+                            cond = jnp.sum(
+                                jnp.where(lane_m == m, st["parent"], 0),
+                                axis=1,
+                                keepdims=True,
+                            )
+                            level = src_blocks
+                            bit = 1
+                            while len(level) > 1:
+                                sel = (cond & bit) != 0
+                                level = [
+                                    jnp.where(
+                                        sel, level[2 * i + 1], level[2 * i]
+                                    )
+                                    for i in range(len(level) // 2)
+                                ]
+                                bit <<= 1
+                            qf = level[0].astype(f32)
+                            if cdi_f is not None:
+                                col = csc_t * (
+                                    1.0 / s_src[pl.ds(m * B_s, B_s), :]
+                                )
+                                qf = qf + jnp.round(
+                                    cdi_f[m * B_s : (m + 1) * B_s, :] * col
+                                )
+                            dst_ref[m * B_s : (m + 1) * B_s, :] = jnp.clip(
+                                qf, -127.0, 127.0
+                            ).astype(jnp.int8)
                 elif not pool or "reorder" in _SKIP:
                     # R1: no reorder — dequant + extend + requant in place
                     # (dst_ref is src, s_dst is s_src).
@@ -1110,8 +1180,11 @@ def _seqbeam_kernel_v2(
                               s_dst=ctx[6] if INT8 else None)
             )
 
-        def _s(ctx, i):  # scale ref riding with E buffer i (int8 only)
-            return ctx[6 + i] if INT8 else None
+        def _s(ctx, i):  # scale ref riding with E buffer i (int8 only);
+            # fixed-scale mode keeps ONE per-pass scale column in SA
+            if not INT8:
+                return None
+            return ctx[6] if FIXS else ctx[6 + i]
 
         if mask is None:
             def pair_step(i, sss):
@@ -1230,6 +1303,7 @@ def _seqbeam_kernel_v2(
     static_argnames=(
         "config", "M", "R", "passes", "block_b", "interpret", "impl",
         "interleave", "pool_mask", "cross_value", "reorder", "e_dtype",
+        "requant",
     ),
 )
 def seqbeam_encode_indexes(
@@ -1248,6 +1322,7 @@ def seqbeam_encode_indexes(
     cross_value: bool = False,
     reorder: str = "gather",
     e_dtype: str = "f32",
+    requant: str = "step",
 ) -> jax.Array:
     """Encode (B, dim) frames to (B, nc) int32 indexes with the fused
     sequential-beam kernel.  Initialisation (logits argmax, or the caller's
@@ -1297,7 +1372,8 @@ def seqbeam_encode_indexes(
     on the trained flagship (+0.96% vs beam-5,
     experiments/int8ec_quality_d512_b8.json)."""
     assert SEQBEAM_SUPPORTED(config), config
-    assert impl == "v2" or e_dtype == "f32", (impl, e_dtype)
+    assert impl == "v2" or (e_dtype == "f32" and requant == "step"), (
+        impl, e_dtype, requant)
     if pool_mask is not None:
         assert impl == "v2", "pool_mask requires impl='v2'"
         # "altparity" measured +0.96% vs beam-5 at M8R4p3 on the
@@ -1364,10 +1440,12 @@ def seqbeam_encode_indexes(
                     pltpu.VMEM((M * B_s, 1), jnp.float32),
                     pltpu.VMEM((M * B_s, 1), jnp.float32),
                 ]
+        assert requant == "step" or int8, (requant, e_dtype)
         kernel = functools.partial(
             _seqbeam_kernel_v2, B_t=block_b, D=D, nc=nc, cs=cs, M=M, R=R,
             passes=passes, SUBT=SUBT, pool_mask=pool_mask,
             cross_value=cross_value, reorder=reorder, e_dtype=e_dtype,
+            requant=requant,
         )
     else:
         scratch = [
