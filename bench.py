@@ -69,14 +69,19 @@ def _remaining() -> float:
 # Gram-table kernel on the int8 MXU path (real-chip quality +0.91%,
 # experiments/kernel_quality_d512_b8.json).
 CANDIDATES = {
+    # int8-resident E at block_b=512: int8 x int8 -> int32 rescore +
+    # extension on the 2x MXU path; 789.6K vs 639.2K (bf16) vec/s at
+    # B=32K in the same round-4 A/B run (experiments/mask logs), quality
+    # +0.96% = f32/bf16 (experiments/int8ec_quality_d512_b8.json)
+    "seqbeam int8E M8 R4 x3 altparity il2 sel b512": (
+        "seqbeam", 3,
+        dict(M=8, R=4, pool_mask="altparity", block_b=512, interleave=2,
+             reorder="select", e_dtype="int8"),
+    ),
     "seqbeam M8 R4 x3 altparity il2 sel ebf16": (
         "seqbeam", 3,
         dict(M=8, R=4, pool_mask="altparity", block_b=256, interleave=2,
              reorder="select", e_dtype="bf16"),
-    ),
-    "seqbeam M8 R4 x3 altparity il2": (
-        "seqbeam", 3,
-        dict(M=8, R=4, pool_mask="altparity", block_b=256, interleave=2),
     ),
 }
 # gramv3-int8 lost the throughput race in every round it ran (496K vs
@@ -269,7 +274,9 @@ def ensure_chip(tries: int = 4, sleep_s: float = 45.0) -> bool:
     """Fresh-process pure-XLA preflight, retried while the worker recovers
     (a released/crashed TPU worker takes tens of seconds to come back)."""
     for i in range(tries):
-        r = run_worker("preflight", timeout=300)
+        # cold device connects right after another process released the
+        # chip have been observed taking >300s on this tunnel
+        r = run_worker("preflight", timeout=480)
         if r.get("ok"):
             return True
         print(f"preflight {i + 1}/{tries} failed: {r.get('error', '?')}",

@@ -63,6 +63,10 @@ CONFIGS = {
     "seqbeam_int8e_d256": (256, 4, "seqbeam", 2,
         dict(M=8, R=4, pool_mask="altparity", block_b=256, interleave=2,
              reorder="select", e_dtype="int8")),
+    # the auto margin-fallback config (quality +0.746%, quality_guard)
+    "seqbeam_m16_d512": (512, 8, "seqbeam", 2,
+        dict(M=16, R=4, block_b=256, interleave=2,
+             reorder="select", e_dtype="bf16")),
     # v1 implementation
     "seqbeam_v1_d512": (512, 8, "seqbeam", 3,
         dict(M=8, R=4, block_b=128, impl="v1")),
@@ -143,14 +147,15 @@ def main(only: list[str] | None = None) -> None:
         try:
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", name],
-                capture_output=True, text=True, timeout=1500,
+                capture_output=True, text=True,
+                timeout=float(os.environ.get("QTPU_SMOKE_TIMEOUT", "1500")),
             )
             ok = p.returncode == 0
             detail = (p.stdout.strip().splitlines() or [""])[-1] if ok else \
                 " | ".join(t.strip()[:160]
                            for t in (p.stderr or "?").strip().splitlines()[-4:])
-        except subprocess.TimeoutExpired:
-            ok, detail = False, "timeout after 1500s"
+        except subprocess.TimeoutExpired as te:
+            ok, detail = False, f"timeout after {te.timeout:.0f}s"
         # per-entry timestamp: with --only, untouched entries keep their own
         # generated_unix, so freshness is recorded per result (ADVICE r3)
         results[name] = {

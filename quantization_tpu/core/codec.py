@@ -87,18 +87,16 @@ def encode(
     x2 = x.reshape(-1, config.dim)
     if search_method == "auto":
         # Fastest config measured within the 1% quality bar on TPU: the
-        # fused seqbeam kernel at M=8, R=4, 3 passes with the "altparity"
-        # pool/R1 step schedule, phase-zipped sub-tile interleave, the
-        # bit-exact select-tree beam reorder, and bf16 E storage
-        # (+0.96% rel err vs beam-5 on the trained flagship — identical to
-        # the f32/gather config to the 4th decimal,
-        # experiments/kernel_quality_d512_b8.json "M8R4p3+altparity+sel+
-        # ebf16"; +10% throughput over gather/f32,
-        # experiments/ab_r3b.log).  Falls back to the reference-parity
-        # beam off-TPU, for unsupported shapes, or when the config has no
-        # passing entry in the real-hardware smoke-gate table
-        # (ops/verified.json, generated by experiments/kernel_smoke.py) —
-        # the shipped default never routes onto an undemonstrated kernel.
+        # fused seqbeam kernel at M=8, R=4 with the "altparity" pool/R1
+        # step schedule and the bit-exact select-tree beam reorder —
+        # int8-resident E at dim=512 (int8 x int8 -> int32 rescore +
+        # extension on the 2x MXU path; max +0.98% rel err vs beam-5 over
+        # 3 eval seeds, ops/quality.json), bf16 E at dim=256.  Every
+        # candidate is double-gated on real-hardware tables (smoke entry
+        # in ops/verified.json AND a measured in-bar quality margin in
+        # ops/quality.json); the shipped default never routes onto an
+        # undemonstrated or out-of-bar kernel.  Falls back to the
+        # reference-parity beam off-TPU or for unsupported shapes.
         from ..ops.seqbeam import SEQBEAM_SUPPORTED
         from ..ops.verify import kernel_verified, quality_delta_pct
 
@@ -120,6 +118,15 @@ def encode(
             ]
         else:
             auto_candidates = [
+                # int8-resident E at block_b=512: +23% over the bf16
+                # headline at B=32K (789.6K vs 639.2K vec/s, round-4 A/B);
+                # quality +0.96% vs beam-5 = f32/bf16
+                # (experiments/int8ec_quality_d512_b8.json) — selected only
+                # once BOTH its real-hardware smoke entry and its measured
+                # quality-guard margin exist and pass
+                ("seqbeam_int8e_d512!", 3,
+                 dict(M=8, R=4, pool_mask="altparity", block_b=512,
+                      interleave=2, reorder="select", e_dtype="int8")),
                 ("seqbeam_hl_d512", 3,
                  dict(M=8, R=4, pool_mask="altparity", block_b=256,
                       interleave=2, reorder="select", e_dtype="bf16")),
@@ -134,7 +141,15 @@ def encode(
             and refine_indexes_iters >= 3
         ):
             for name, iters, tuned in auto_candidates:
+                # a trailing "!" marks candidates that additionally REQUIRE
+                # a measured quality entry (newly promoted configs must not
+                # ride the no-measurement leniency of the long-standing
+                # defaults)
+                need_quality = name.endswith("!")
+                name = name.rstrip("!")
                 delta = quality_delta_pct(name)
+                if delta is None and need_quality:
+                    continue
                 if kernel_verified(name) and (delta is None or delta <= 1.0):
                     chosen = (iters, tuned)
                     break
