@@ -59,7 +59,7 @@ for name in names:
     #        wsel = reorder="wideselect", ebf = e_dtype="bf16",
     #        ei8 = e_dtype="int8" (int8-resident E, implies sel),
     #        ei8f = int8 E with per-pass fixed scales (requant="pass"),
-    #        m<N>/r<N>/p<N> = M/R/passes,
+    #        m<N>/r<N>/p<N> = M/R/passes, z<N> = zip_skew,
     #        v3 = gramv3 kernel (bf16 tables), v3i8 = gramv3 int8 tables
     parts = name.split(":")
     mask = SCHED[parts[0]]
@@ -72,13 +72,14 @@ for name in names:
     rq = "pass" if "ei8f" in flags else "step"
     ro = ("wideselect" if "wsel" in flags
           else "select" if "sel" in flags else "gather")
-    M = R = p = None
+    M = R = p = zs = None
     for fl in flags:
-        if fl and fl[0] in "mrp" and fl[1:].isdigit():
+        if fl and fl[0] in "mrpz" and fl[1:].isdigit():
             M = int(fl[1:]) if fl[0] == "m" else M
             R = int(fl[1:]) if fl[0] == "r" else R
             p = int(fl[1:]) if fl[0] == "p" else p
-    M, R, p = M or 8, R or 4, p or 3
+            zs = int(fl[1:]) if fl[0] == "z" else zs
+    M, R, p, zs = M or 8, R or 4, p or 3, zs or 0
     if isinstance(mask, tuple) and isinstance(mask[0], tuple) and len(mask) != p:
         mask = tuple(mask[i % len(mask)] for i in range(p))
     if "v3" in flags or "v3i8" in flags:
@@ -91,10 +92,10 @@ for name in names:
             interleave=il, g_dtype=gd))
     else:
         f = jax.jit(lambda x, m=mask, bb=bb, il=il, xv=xv, ro=ro, M=M, R=R,
-                    p=p, ed=ed, rq=rq: seqbeam.seqbeam_encode_indexes(
+                    p=p, ed=ed, rq=rq, zs=zs: seqbeam.seqbeam_encode_indexes(
             params, cfg, x, M=M, R=R, passes=p, pool_mask=m, block_b=bb,
             interleave=il, cross_value=xv, reorder=ro, e_dtype=ed,
-            requant=rq))
+            requant=rq, zip_skew=zs))
     try:
         t0 = time.perf_counter()
         dt = fetch_time(f)

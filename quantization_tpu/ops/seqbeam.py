@@ -14,7 +14,11 @@ M=16/R=4 x2 +0.74%, M=8/R=2 x3 +0.94% (experiments/kernel_quality_*.json);
 XLA-simulated sweep over (cd warm start x M x passes x R) in
 experiments/quality_sweep.py — notable: warm-start sweeps add nothing at
 equal beam work, and R=1 (no cross-parent competition) saturates at +1.26%,
-so the pool selection is load-bearing.  dim=64/4B: M=32 x3 -0.9% (beats the
+so the pool selection is load-bearing.  Cheaper pool-selection variants are
+all OUT of the 1% bar (experiments/jbest_quality_d512_b8.json, round 4):
+per-j best-parent fold ("jbest", ~4x less selection VPU work) +1.56%
+altparity / +1.90% allpool / +1.39% at M16; R=2 pool rounds +1.12% — do
+not retry; top-R=4 per parent + pool is the quality floor.  dim=64/4B: M=32 x3 -0.9% (beats the
 reference).  See the README quality table.
 
 TPU mapping notes (v5e, Mosaic), learned the hard way:
@@ -462,6 +466,7 @@ def _seqbeam_kernel_v2(
     reorder: str = "gather",
     e_dtype: str = "f32",
     requant: str = "step",
+    zip_skew: int = 0,
 ):
     """Restructured sequential-beam kernel (v2).
 
@@ -498,7 +503,7 @@ def _seqbeam_kernel_v2(
     assert M % 8 == 0 and M <= 64, M  # beam reorder works in 8-row groups
     assert B_t % SUBT == 0, (B_t, SUBT)
     B_s = B_t // SUBT
-    assert B_s in (64, 128, 256) and cs == 256 and nc % 2 == 0
+    assert B_s in (64, 128, 256, 512) and cs == 256 and nc % 2 == 0
     # pool packing: j (8 bits) + parent (log2 M bits) in the low mantissa
     assert M & (M - 1) == 0 and M * R <= 512, (M, R)
     INT8 = e_dtype == "int8"
@@ -692,9 +697,12 @@ def _seqbeam_kernel_v2(
                 cross = st["cross"] if cross_value else cross_ref[:, :]
                 if INT8:
                     # dequant: int32 counts x (E row scale x codebook scale)
-                    cross = cross.astype(f32) * (
-                        s_src[:, :] * st["csc_t"]
-                    )
+                    if "dequant" in _SKIP:
+                        cross = cross.astype(f32)
+                    else:
+                        cross = cross.astype(f32) * (
+                            s_src[:, :] * st["csc_t"]
+                        )
                 if "assembly" in _SKIP:
                     S_full = cross
                 else:
@@ -1005,6 +1013,14 @@ def _seqbeam_kernel_v2(
                                 for i in range(len(lev_s) // 2)
                             ]
                             bit <<= 1
+                        if "requant" in _SKIP:
+                            # bisect-only: reorder but skip the dequant +
+                            # extend + requant tail (results WRONG)
+                            dst_ref[m * B_s : (m + 1) * B_s, :] = lev_e[0]
+                            s_dst[m * B_s : (m + 1) * B_s, :] = (
+                                lev_s[0] * csc_t
+                            )
+                            continue
                         ef_u = lev_e[0].astype(f32) * lev_s[0]
                         if cdi is not None:
                             ef_u = ef_u + cdi.astype(f32)[
@@ -1155,10 +1171,18 @@ def _seqbeam_kernel_v2(
 
     x = x_ref[:]  # (B_t, D)
 
+    def _s(ctx, i):  # scale ref riding with E buffer i (int8 only);
+        # fixed-scale mode keeps ONE per-pass scale column in SA
+        if not INT8:
+            return None
+        return ctx[6] if FIXS else ctx[6 + i]
+
     def one_pass_with(mask):
         # Sub-tiles are processed with their codebook steps interleaved in
         # one instruction stream; their chains are independent, so one
         # sub-tile's MXU rescore overlaps the other's VPU selection.
+        if mask is not None and SUBT > 1 and zip_skew:
+            return one_pass_skewed(mask, zip_skew)
         sss = []
         for sub in range(SUBT):
             ctx = ctxs[sub]
@@ -1179,12 +1203,6 @@ def _seqbeam_kernel_v2(
                               chosenA, chosenA,
                               s_dst=ctx[6] if INT8 else None)
             )
-
-        def _s(ctx, i):  # scale ref riding with E buffer i (int8 only);
-            # fixed-scale mode keeps ONE per-pass scale column in SA
-            if not INT8:
-                return None
-            return ctx[6] if FIXS else ctx[6 + i]
 
         if mask is None:
             def pair_step(i, sss):
@@ -1247,36 +1265,127 @@ def _seqbeam_kernel_v2(
 
         # ---- pass end: best candidate per sub via block-wise packed min
         # over the ss column (m ids in the low mantissa bits)
+        for sub in range(SUBT):
+            pass_end(sub, sss[sub], ch_fin)
+        return 0
+
+    def pass_end(sub, ss_col, ch_fin):
         m_ids = jnp.concatenate(
             [jnp.full((B_s, 1), m, jnp.int32) for m in range(M)], axis=0
         )
-        for sub in range(SUBT):
-            ctx = ctxs[sub]
-            chosen_fin, sol_ref = ctx[ch_fin], ctx[5]
-            enc_col = _encode_scores(sss[sub], m_ids)  # (M*B_s, 1)
-            best_enc = enc_col[0:B_s, :]
-            for m in range(1, M):
-                best_enc = jnp.minimum(
-                    best_enc, enc_col[m * B_s : (m + 1) * B_s, :]
-                )
-            best = pltpu.bitcast(best_enc, jnp.int32) & _LANE_MASK  # (B_s, 1)
-            best_pad = pad_row(best.T)  # (1, CW)
-            idx_best = jnp.concatenate(
-                [jnp.broadcast_to(best_pad, (8, CW))] * nc, axis=1
+        ctx = ctxs[sub]
+        chosen_fin, sol_ref = ctx[ch_fin], ctx[5]
+        enc_col = _encode_scores(ss_col, m_ids)  # (M*B_s, 1)
+        best_enc = enc_col[0:B_s, :]
+        for m in range(1, M):
+            best_enc = jnp.minimum(
+                best_enc, enc_col[m * B_s : (m + 1) * B_s, :]
             )
-            ch_groups = [
-                chosen_fin[g * 8 * nc : (g + 1) * 8 * nc, :].reshape(8, nc * CW)
-                for g in range(G)
-            ]
-            winner = _gather_rows_grouped(ch_groups, idx_best)  # (8, nc*CW)
-            winner_col = winner[0:1, :].T  # (nc*CW, 1)
-            if CW == B_s:
-                sol_ref[:, :] = winner_col
-            else:
-                for t in range(nc):
-                    sol_ref[t * B_s : (t + 1) * B_s, :] = winner_col[
-                        t * CW : t * CW + B_s, :
-                    ]
+        best = pltpu.bitcast(best_enc, jnp.int32) & _LANE_MASK  # (B_s, 1)
+        best_pad = pad_row(best.T)  # (1, CW)
+        idx_best = jnp.concatenate(
+            [jnp.broadcast_to(best_pad, (8, CW))] * nc, axis=1
+        )
+        ch_groups = [
+            chosen_fin[g * 8 * nc : (g + 1) * 8 * nc, :].reshape(8, nc * CW)
+            for g in range(G)
+        ]
+        winner = _gather_rows_grouped(ch_groups, idx_best)  # (8, nc*CW)
+        winner_col = winner[0:1, :].T  # (nc*CW, 1)
+        if CW == B_s:
+            sol_ref[:, :] = winner_col
+        else:
+            for t in range(nc):
+                sol_ref[t * B_s : (t + 1) * B_s, :] = winner_col[
+                    t * CW : t * CW + B_s, :
+                ]
+
+    def one_pass_skewed(mask, skew):
+        """The static-schedule pass with the sub-tile phase streams SKEWED:
+        sub s leads sub s+1 by ``skew`` phases in the emission order, so in
+        steady state each MXU phase of one sub-tile is followed in program
+        order by an INDEPENDENT (different-sub) phase instead of its own
+        consumer (odd skews pair MXU phases with the other sub's VPU
+        phases: phases alternate MXU/VPU within a step).  Same-phase
+        zipping (skew 0, ``one_pass_with``) leaves each matmul's consumer
+        only one op behind it — this is the software-pipelined variant
+        (VERDICT r3 item 7).  Bit-identical per-frame results: only the
+        emission order of independent instruction chains changes."""
+        finals = {}
+
+        def stream(sub):
+            ctx = ctxs[sub]
+            ss_cell = [None]
+
+            def wrap(phases):
+                yield phases[0]
+
+                def ph1(p=phases[1]):
+                    ss_cell[0] = p()
+
+                yield ph1
+                yield phases[2]
+                yield phases[3]
+
+            def root_phases():
+                x_s = jax.lax.slice(x, (sub * B_s, 0), ((sub + 1) * B_s, D))
+
+                def add_codebook(s, acc, sol_ref=ctx[5]):
+                    sol_s = sol_ref[pl.ds(s * B_s, B_s), :]
+                    return acc + matmul(
+                        onehot_bt(sol_s), centers_ref[pl.ds(s * cs, cs), :]
+                    )
+
+                e = jax.lax.fori_loop(0, nc, add_codebook, -x_s)
+                return codebook_step_phases(
+                    0, ctx, e, ctx[0], None, True, False, ctx[3], ctx[3],
+                    True, None, _s(ctx, 0)
+                )
+
+            yield from wrap(root_phases())
+            e_cur, e_alt, ch_cur, ch_alt = 0, 1, 3, 4
+            for t in range(1, nc):
+                pool = bool(mask[t])
+                last = t == nc - 1
+                if pool:
+                    def mk(t=t, ec=e_cur, ea=e_alt, cc=ch_cur, ca=ch_alt,
+                           last=last):
+                        return codebook_step_phases(
+                            t, ctx, ctx[ec], ctx[ea], ss_cell[0], False,
+                            last, ctx[cc], ctx[ca], True,
+                            _s(ctx, ec), _s(ctx, ea))
+                    e_cur, e_alt = e_alt, e_cur
+                    ch_cur, ch_alt = ch_alt, ch_cur
+                else:
+                    def mk(t=t, ec=e_cur, cc=ch_cur, last=last):
+                        return codebook_step_phases(
+                            t, ctx, ctx[ec], ctx[ec], ss_cell[0], False,
+                            last, ctx[cc], ctx[cc], False,
+                            _s(ctx, ec), _s(ctx, ec))
+                yield from wrap(mk())
+            finals[sub] = (ss_cell, ch_cur)
+
+        streams = [stream(s) for s in range(SUBT)]
+
+        def advance(s):
+            ph = next(streams[s], None)
+            if ph is None:
+                return False
+            ph()
+            return True
+
+        alive = [True] * SUBT
+        # prime: earlier subs lead later ones by `skew` phases each
+        for s in range(SUBT):
+            for _ in range(skew * (SUBT - 1 - s)):
+                alive[s] = alive[s] and advance(s)
+        while any(alive):
+            for s in range(SUBT):
+                if alive[s]:
+                    alive[s] = advance(s)
+        for sub in range(SUBT):
+            ss_cell, ch_fin = finals[sub]
+            pass_end(sub, ss_cell[0], ch_fin)
         return 0
 
     if pool_mask is not None and isinstance(pool_mask[0], tuple):
@@ -1303,7 +1412,7 @@ def _seqbeam_kernel_v2(
     static_argnames=(
         "config", "M", "R", "passes", "block_b", "interpret", "impl",
         "interleave", "pool_mask", "cross_value", "reorder", "e_dtype",
-        "requant",
+        "requant", "zip_skew",
     ),
 )
 def seqbeam_encode_indexes(
@@ -1323,6 +1432,7 @@ def seqbeam_encode_indexes(
     reorder: str = "gather",
     e_dtype: str = "f32",
     requant: str = "step",
+    zip_skew: int = 0,
 ) -> jax.Array:
     """Encode (B, dim) frames to (B, nc) int32 indexes with the fused
     sequential-beam kernel.  Initialisation (logits argmax, or the caller's
@@ -1370,7 +1480,14 @@ def seqbeam_encode_indexes(
     per-codebook, so rescore AND extension run int8 x int8 -> int32 on the
     MXU's 2x int8 peak; search quality is measured identical to f32/bf16
     on the trained flagship (+0.96% vs beam-5,
-    experiments/int8ec_quality_d512_b8.json)."""
+    experiments/int8ec_quality_d512_b8.json).
+
+    ``zip_skew`` (v2, interleave>=2, static pool_mask only): skew the
+    sub-tile phase streams by N phases in emission order, so each MXU
+    matmul is followed in program order by the other sub-tile's
+    INDEPENDENT work instead of its own consumer (odd skews pair MXU
+    phases with the other sub's VPU phases).  Bit-identical results —
+    pure instruction-scheduling A/B (VERDICT r3 item 7)."""
     assert SEQBEAM_SUPPORTED(config), config
     assert impl == "v2" or (e_dtype == "f32" and requant == "step"), (
         impl, e_dtype, requant)
@@ -1408,7 +1525,7 @@ def seqbeam_encode_indexes(
     if impl == "v2":
         SUBT = interleave if block_b % interleave == 0 else 1
         B_s = block_b // SUBT
-        if B_s not in (64, 128, 256):
+        if B_s not in (64, 128, 256, 512):
             SUBT, B_s = 1, block_b
         assert e_dtype in ("f32", "bf16", "int8"), e_dtype
         assert e_dtype == "f32" or reorder in ("select", "wideselect"), (
@@ -1445,7 +1562,7 @@ def seqbeam_encode_indexes(
             _seqbeam_kernel_v2, B_t=block_b, D=D, nc=nc, cs=cs, M=M, R=R,
             passes=passes, SUBT=SUBT, pool_mask=pool_mask,
             cross_value=cross_value, reorder=reorder, e_dtype=e_dtype,
-            requant=requant,
+            requant=requant, zip_skew=zip_skew,
         )
     else:
         scratch = [

@@ -619,3 +619,29 @@ class TestGramV3:
             gramv3_encode_indexes(params, config, x, loop="fori",
                                   pool_mask="altparity", M=8, R=2, passes=2,
                                   block_b=64, interpret=True)
+
+
+def test_zip_skew_is_bit_identical():
+    """zip_skew (sub-tile phase-stream skew, the software-pipelining knob)
+    only reorders INDEPENDENT instruction chains in emission order — the
+    per-frame search must be bit-identical to the same-phase zip, for
+    every E storage dtype the skewed path supports."""
+    from quantization_tpu.ops.seqbeam import seqbeam_encode_indexes
+
+    config = core.QuantizerConfig(dim=128, codebook_size=256, num_codebooks=4)
+    params = core.init_quantizer_params(jax.random.PRNGKey(40), config)
+    x = jax.random.normal(jax.random.PRNGKey(41), (128, 128))
+    for kw in (
+        dict(reorder="select", e_dtype="int8"),
+        dict(reorder="select", e_dtype="int8", requant="pass"),
+        dict(reorder="select", e_dtype="bf16"),
+    ):
+        o0 = seqbeam_encode_indexes(
+            params, config, x, M=8, R=4, passes=2, block_b=128,
+            pool_mask="altparity", interleave=2, interpret=True, **kw)
+        for zs in (1, 2):
+            oz = seqbeam_encode_indexes(
+                params, config, x, M=8, R=4, passes=2, block_b=128,
+                pool_mask="altparity", interleave=2, interpret=True,
+                zip_skew=zs, **kw)
+            assert (np.asarray(o0) == np.asarray(oz)).all(), (kw, zs)
