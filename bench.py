@@ -69,24 +69,35 @@ def _remaining() -> float:
 # Gram-table kernel on the int8 MXU path (real-chip quality +0.91%,
 # experiments/kernel_quality_d512_b8.json).
 CANDIDATES = {
-    # int8-resident E at block_b=512: int8 x int8 -> int32 rescore +
-    # extension on the 2x MXU path; 789.6K vs 639.2K (bf16) vec/s at
-    # B=32K in the same round-4 A/B run (experiments/mask logs), quality
-    # +0.96% = f32/bf16 (experiments/int8ec_quality_d512_b8.json)
+    # int8-resident E at block_b=512 with the zip_skew=1 software pipeline
+    # (sub-tile phase streams skewed one phase so each MXU matmul is
+    # followed in emission order by the other sub-tile's independent VPU
+    # work): 784.3K vs 738.0K (z0) vec/s at B=32K in the same round-4
+    # session A/B (experiments/skewab_r4.log); bit-identical outputs to
+    # z0, so the int8E quality numbers carry over (+0.96% vs beam-5,
+    # experiments/int8ec_quality_d512_b8.json)
+    "seqbeam int8E M8 R4 x3 altparity il2 sel b512 z1": (
+        "seqbeam", 3,
+        dict(M=8, R=4, pool_mask="altparity", block_b=512, interleave=2,
+             reorder="select", e_dtype="int8", zip_skew=1),
+    ),
+    # int8-resident E without the skew: 789.6K vs 639.2K (bf16) vec/s at
+    # B=32K in the early round-4 A/B run (experiments/mask logs)
     "seqbeam int8E M8 R4 x3 altparity il2 sel b512": (
         "seqbeam", 3,
         dict(M=8, R=4, pool_mask="altparity", block_b=512, interleave=2,
              reorder="select", e_dtype="int8"),
     ),
-    "seqbeam M8 R4 x3 altparity il2 sel ebf16": (
+}
+# Opt-in extra candidates: gramv3-int8 lost the throughput race in every
+# round it ran (496K vs 609-700K), and the bf16-E seqbeam lost to int8-E
+# in round 4 (639K vs 790K same-run) — neither earns a default sweep slot.
+if os.environ.get("QTPU_BENCH_EXTRA"):
+    CANDIDATES["seqbeam M8 R4 x3 altparity il2 sel ebf16"] = (
         "seqbeam", 3,
         dict(M=8, R=4, pool_mask="altparity", block_b=256, interleave=2,
              reorder="select", e_dtype="bf16"),
-    ),
-}
-# gramv3-int8 lost the throughput race in every round it ran (496K vs
-# 609-700K) yet cost a full compile+run slot; it is opt-in now.
-if os.environ.get("QTPU_BENCH_EXTRA"):
+    )
     CANDIDATES["gramv3 int8 M8 R4 x3 allpool il2"] = (
         "gramv3", 3,
         dict(M=8, R=4, g_dtype="int8", block_b=256, interleave=2),

@@ -13,11 +13,6 @@ timeout 5400 python experiments/maskbench.py $B 512 8 \
   altparity:1024:2:sel:ei8:z1 \
   > experiments/skewab_r4.log 2>&1
 echo "skewab rc=$?"
-# fine bisect at B=8192 (headline tile shape), one skip at a time
-for SKIP in "" requant dequant sel assembly shared chosen reorder rescore ext; do
-  echo "=== SKIP=$SKIP $(date +%T)" >> experiments/bisect_r4_int8.log
-  QTPU_SEQBEAM_SKIP=$SKIP timeout 2400 \
-    python experiments/maskbench.py 8192 512 8 altparity:512:2:sel:ei8 \
-    >> experiments/bisect_r4_int8.log 2>&1
-done
-echo "bisect rc=$?"
+# (bisect dropped: remote compiles run 15-16 min/leg this round — 10 legs
+# would consume the rest of the round; the skew/bound/fi A/Bs in part C
+# target the known top costs directly)

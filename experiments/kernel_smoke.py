@@ -59,7 +59,7 @@ CONFIGS = {
     # 789.6K vs 682.8K (block 256) vs 639.2K (bf16) vec/s at B=32K
     "seqbeam_int8e_d512": (512, 8, "seqbeam", 3,
         dict(M=8, R=4, pool_mask="altparity", block_b=512, interleave=2,
-             reorder="select", e_dtype="int8")),
+             reorder="select", e_dtype="int8", zip_skew=1)),
     "seqbeam_int8e_d256": (256, 4, "seqbeam", 2,
         dict(M=8, R=4, pool_mask="altparity", block_b=256, interleave=2,
              reorder="select", e_dtype="int8")),

@@ -59,7 +59,9 @@ for name in names:
     #        wsel = reorder="wideselect", ebf = e_dtype="bf16",
     #        ei8 = e_dtype="int8" (int8-resident E, implies sel),
     #        ei8f = int8 E with per-pass fixed scales (requant="pass"),
+    #        ei8b = int8 E with bound-propagated scales (requant="bound"),
     #        m<N>/r<N>/p<N> = M/R/passes, z<N> = zip_skew,
+    #        fi = init_precision="default" (single-pass bf16 init logits),
     #        v3 = gramv3 kernel (bf16 tables), v3i8 = gramv3 int8 tables
     parts = name.split(":")
     mask = SCHED[parts[0]]
@@ -67,9 +69,10 @@ for name in names:
     il = int(parts[2]) if len(parts) > 2 else 1
     flags = parts[3:]
     xv = "xv" in flags
-    ed = ("int8" if "ei8" in flags or "ei8f" in flags
+    ed = ("int8" if "ei8" in flags or "ei8f" in flags or "ei8b" in flags
           else "bf16" if "ebf" in flags else "f32")
-    rq = "pass" if "ei8f" in flags else "step"
+    rq = ("pass" if "ei8f" in flags
+          else "bound" if "ei8b" in flags else "step")
     ro = ("wideselect" if "wsel" in flags
           else "select" if "sel" in flags else "gather")
     M = R = p = zs = None
@@ -91,11 +94,13 @@ for name in names:
             params, cfg, x, M=M, R=R, passes=p, pool_mask=m, block_b=bb,
             interleave=il, g_dtype=gd))
     else:
+        ip = "default" if "fi" in flags else "highest"
         f = jax.jit(lambda x, m=mask, bb=bb, il=il, xv=xv, ro=ro, M=M, R=R,
-                    p=p, ed=ed, rq=rq, zs=zs: seqbeam.seqbeam_encode_indexes(
+                    p=p, ed=ed, rq=rq, zs=zs, ip=ip:
+                    seqbeam.seqbeam_encode_indexes(
             params, cfg, x, M=M, R=R, passes=p, pool_mask=m, block_b=bb,
             interleave=il, cross_value=xv, reorder=ro, e_dtype=ed,
-            requant=rq, zip_skew=zs))
+            requant=rq, zip_skew=zs, init_precision=ip))
     try:
         t0 = time.perf_counter()
         dt = fetch_time(f)

@@ -49,7 +49,23 @@ if dim == 512:
             reorder="select", e_dtype="bf16")),
         "seqbeam_int8e_d512": (3, dict(
             M=8, R=4, pool_mask="altparity", block_b=512, interleave=2,
-            reorder="select", e_dtype="int8")),
+            reorder="select", e_dtype="int8", zip_skew=1)),
+        # promotion candidate (round 4): single-pass bf16 init logits —
+        # the argmax init the beam refines; measured here before any
+        # auto promotion because the headline margin is +0.98% of 1%
+        "seqbeam_int8e_fi_d512": (3, dict(
+            M=8, R=4, pool_mask="altparity", block_b=512, interleave=2,
+            reorder="select", e_dtype="int8", init_precision="default")),
+        # promotion candidate (round 4): bound-propagated requant scales
+        # (no per-step row-max reduce), sim-screened +0.98%
+        # (experiments/boundscale_quality_d512_b8.json)
+        "seqbeam_int8e_bound_d512": (3, dict(
+            M=8, R=4, pool_mask="altparity", block_b=512, interleave=2,
+            reorder="select", e_dtype="int8", requant="bound")),
+        "seqbeam_int8e_bound_fi_d512": (3, dict(
+            M=8, R=4, pool_mask="altparity", block_b=512, interleave=2,
+            reorder="select", e_dtype="int8", requant="bound",
+            init_precision="default")),
     }
 else:
     CONFIGS = {

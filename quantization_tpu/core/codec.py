@@ -123,10 +123,14 @@ def encode(
                 # quality +0.96% vs beam-5 = f32/bf16
                 # (experiments/int8ec_quality_d512_b8.json) — selected only
                 # once BOTH its real-hardware smoke entry and its measured
-                # quality-guard margin exist and pass
+                # quality-guard margin exist and pass.  zip_skew=1 is the
+                # software-pipelined emission order (+6% same-session A/B,
+                # experiments/skewab_r4.log) with BIT-IDENTICAL outputs, so
+                # the quality-guard entry carries over unchanged.
                 ("seqbeam_int8e_d512!", 3,
                  dict(M=8, R=4, pool_mask="altparity", block_b=512,
-                      interleave=2, reorder="select", e_dtype="int8")),
+                      interleave=2, reorder="select", e_dtype="int8",
+                      zip_skew=1)),
                 ("seqbeam_hl_d512", 3,
                  dict(M=8, R=4, pool_mask="altparity", block_b=256,
                       interleave=2, reorder="select", e_dtype="bf16")),

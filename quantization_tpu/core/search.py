@@ -71,15 +71,24 @@ def search_plan(num_codebooks: int, codebook_size: int) -> List[Tuple[str, int, 
             N, K, L = N // 2, K * K, L * 2
 
 
-def compute_logits(params: QuantizerParams, config: QuantizerConfig, x: jax.Array) -> jax.Array:
+def compute_logits(
+    params: QuantizerParams,
+    config: QuantizerConfig,
+    x: jax.Array,
+    precision: jax.lax.Precision | None = None,
+) -> jax.Array:
     """Index-prediction logits: ``to_logits(exp(logits_scale*speed) * x)``
-    (`quantization/quantization.py:277-279`).  Returns (B, nc, cs)."""
+    (`quantization/quantization.py:277-279`).  Returns (B, nc, cs).
+
+    ``precision`` overrides the core HIGHEST matmul policy; the fused
+    kernels pass DEFAULT (single-pass bf16 MXU) because the logits only
+    seed the argmax init that the beam then refines."""
     scale = jnp.exp(params.logits_scale * config.scale_speed)
     logits = (
         jnp.dot(
             scale * x,
             params.to_logits_w.T,
-            precision=_precision.MATMUL_PRECISION,
+            precision=precision or _precision.MATMUL_PRECISION,
             preferred_element_type=jnp.float32,
         )
         + params.to_logits_b

@@ -507,10 +507,16 @@ def _seqbeam_kernel_v2(
     # pool packing: j (8 bits) + parent (log2 M bits) in the low mantissa
     assert M & (M - 1) == 0 and M * R <= 512, (M, R)
     INT8 = e_dtype == "int8"
-    if INT8:
+    # cmax (the requant="bound" scale-step input) is only passed in bound
+    # mode so every pre-existing int8 program stays byte-identical (and the
+    # persistent compile cache stays warm for them)
+    if INT8 and requant == "bound":
+        centers_i8_ref, csc_ref, cmax_ref, out_ref, *scratch = rest
+    elif INT8:
         centers_i8_ref, csc_ref, out_ref, *scratch = rest
+        cmax_ref = None
     else:
-        centers_i8_ref = csc_ref = None
+        centers_i8_ref = csc_ref = cmax_ref = None
         out_ref, *scratch = rest
     NCTX = 8 if INT8 else 6
     assert len(scratch) == NCTX * SUBT, len(scratch)
@@ -546,8 +552,15 @@ def _seqbeam_kernel_v2(
     # [-127, 127] — no per-step max-abs reduce, no scale select-trees.
     # Quality screened at +0.98% vs beam-5 (step-requant: +0.96%),
     # experiments/int8ec_quality_d512_b8.json "int8EC-fixedscale".
-    assert requant in ("step", "pass") and (requant == "step" or INT8)
+    # requant="bound" (int8 only): per-step scales propagated as the UPPER
+    # BOUND s_new = s_parent + cmax_t/127 (cmax_t = per-codebook worst-case
+    # |c(j) - c(i)|_inf, a precomputed input) instead of the exact row max —
+    # round() never clips since |E_par + c_delta|_inf <= 127 s_new, and the
+    # per-step row-max VPU reduce disappears.  Quality screened at +0.98%
+    # vs beam-5 (exact: +0.96%), experiments/boundscale_quality_d512_b8.json.
+    assert requant in ("step", "pass", "bound") and (requant == "step" or INT8)
     FIXS = requant == "pass"
+    BOUND = requant == "bound"
 
     def pad_row(row):  # (rows, B_s) -> (rows, CW)
         if B_s == CW:
@@ -639,6 +652,9 @@ def _seqbeam_kernel_v2(
             if INT8:
                 st["ctab_i8"] = centers_i8_ref[pl.ds(t * cs, cs), :]
                 st["csc_t"] = csc_ref[pl.ds(t, 1), :]  # (1, 1) f32
+                if BOUND:
+                    # worst-case |c_t(j) - c_t(i)|_inf in csc[t] units
+                    st["cmax_t"] = cmax_ref[pl.ds(t, 1), :]  # (1, 1) f32
             # shared per-frame score row csq[j] - 2 c_t(i_t).c_t(j)
             if "shared" in _SKIP and not first:
                 shared = jnp.zeros((B_s, cs), f32)
@@ -980,7 +996,11 @@ def _seqbeam_kernel_v2(
                     ef_u = src[:, :].astype(f32) * s_adj
                     if cdi is not None:
                         ef_u = ef_u + cdi.astype(f32)
-                    q, s_u = requant_rows(ef_u)
+                    if BOUND:
+                        s_u = s_adj + st["cmax_t"] * (1.0 / 127.0)
+                        q = jnp.round(ef_u * (1.0 / s_u)).astype(jnp.int8)
+                    else:
+                        q, s_u = requant_rows(ef_u)
                     dst_ref[:, :] = q
                     s_dst[:, :] = s_u * csc_t
                 else:
@@ -1026,7 +1046,11 @@ def _seqbeam_kernel_v2(
                             ef_u = ef_u + cdi.astype(f32)[
                                 m * B_s : (m + 1) * B_s, :
                             ]
-                        q, s_u = requant_rows(ef_u)
+                        if BOUND:
+                            s_u = lev_s[0] + st["cmax_t"] * (1.0 / 127.0)
+                            q = jnp.round(ef_u * (1.0 / s_u)).astype(jnp.int8)
+                        else:
+                            q, s_u = requant_rows(ef_u)
                         dst_ref[m * B_s : (m + 1) * B_s, :] = q
                         s_dst[m * B_s : (m + 1) * B_s, :] = s_u * csc_t
                 return
@@ -1412,7 +1436,7 @@ def _seqbeam_kernel_v2(
     static_argnames=(
         "config", "M", "R", "passes", "block_b", "interpret", "impl",
         "interleave", "pool_mask", "cross_value", "reorder", "e_dtype",
-        "requant", "zip_skew",
+        "requant", "zip_skew", "init_precision",
     ),
 )
 def seqbeam_encode_indexes(
@@ -1433,6 +1457,7 @@ def seqbeam_encode_indexes(
     e_dtype: str = "f32",
     requant: str = "step",
     zip_skew: int = 0,
+    init_precision: str = "highest",
 ) -> jax.Array:
     """Encode (B, dim) frames to (B, nc) int32 indexes with the fused
     sequential-beam kernel.  Initialisation (logits argmax, or the caller's
@@ -1505,7 +1530,16 @@ def seqbeam_encode_indexes(
         x = jnp.concatenate([x, jnp.zeros((B_pad - B, D), x.dtype)], axis=0)
 
     if init_indexes is None:
-        logits = _search.compute_logits(params, config, x)
+        # init_precision="default": single-pass bf16 MXU for the init
+        # logits (HIGHEST = 6 passes) — the argmax only seeds the beam,
+        # which refines for `passes` sweeps; quality must be re-measured
+        # on chip before promoting (the headline margin is +0.96% of 1%).
+        assert init_precision in ("highest", "default"), init_precision
+        logits = _search.compute_logits(
+            params, config, x,
+            precision=(jax.lax.Precision.DEFAULT
+                       if init_precision == "default" else None),
+        )
         idx0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, nc)
     else:
         idx0 = init_indexes.astype(jnp.int32)
@@ -1609,6 +1643,22 @@ def seqbeam_encode_indexes(
             )
             inputs.append(centers_i8)
             inputs.append(csc.reshape(nc, 1))
+            if requant == "bound":
+                # per-codebook worst-case |c(j) - c(i)|_inf of the int8
+                # table (csc units) = max over dims of (column max - column
+                # min); drives the bound-propagated scale step.  Only passed
+                # in bound mode so other int8 programs keep their compile
+                # cache entries.
+                ci = centers_i8.reshape(nc, cs, D).astype(jnp.float32)
+                cmax = jnp.max(
+                    jnp.max(ci, axis=1) - jnp.min(ci, axis=1), axis=1
+                )  # (nc,)
+                in_specs.append(
+                    pl.BlockSpec(
+                        (nc, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+                    )
+                )
+                inputs.append(cmax.reshape(nc, 1))
     grid = (B_pad // block_b,)
     out = pl.pallas_call(
         kernel,

@@ -645,3 +645,27 @@ def test_zip_skew_is_bit_identical():
                 pool_mask="altparity", interleave=2, interpret=True,
                 zip_skew=zs, **kw)
             assert (np.asarray(o0) == np.asarray(oz)).all(), (kw, zs)
+
+
+def test_requant_bound_improves_over_init():
+    """requant="bound" propagates int8 E scales as the upper bound
+    s_parent + cmax_t/127 instead of the exact row max (sim-screened at
+    +0.98% vs beam-5 on the trained flagship); the kernel path must still
+    strictly improve on the argmax init."""
+    from quantization_tpu.core import search as _search
+    from quantization_tpu.core.codec import decode_indexes
+    from quantization_tpu.ops.seqbeam import seqbeam_encode_indexes
+
+    config = core.QuantizerConfig(dim=128, codebook_size=256, num_codebooks=2)
+    params = core.init_quantizer_params(jax.random.PRNGKey(50), config)
+    x = jax.random.normal(jax.random.PRNGKey(51), (128, 128))
+    centers = core.scaled_centers(params, config.scale_speed)
+    init = jnp.argmax(
+        _search.compute_logits(params, config, x), -1).astype(jnp.int32)
+    err0 = float(jnp.sum((decode_indexes(centers, init) - x) ** 2))
+    out = seqbeam_encode_indexes(
+        params, config, x, M=8, R=4, passes=1, block_b=128,
+        pool_mask="altparity", interleave=2, reorder="select",
+        e_dtype="int8", requant="bound", zip_skew=1, interpret=True)
+    err = float(jnp.sum((decode_indexes(centers, jnp.asarray(out)) - x) ** 2))
+    assert err < err0, (err, err0)
