@@ -208,6 +208,11 @@ def worker(name: str) -> None:
     np.asarray(outs[-1])
     vec_per_sec = (NBATCH - 1) * BATCH / (time.perf_counter() - t0)
     result = {"name": name, "ok": True, "vec_per_sec": vec_per_sec}
+    # Print the throughput-only line FIRST: the quality tie-in below may
+    # hit a fresh (1-25 min) Mosaic compile, and if the worker is killed
+    # mid-quality the orchestrator still parses this line from the partial
+    # stdout — the measured throughput must never be lost to the add-on.
+    print(json.dumps(result), flush=True)
     # Quality tie-in (VERDICT r3 weak-item 6): rel reconstruction error of
     # THIS search config on the trained flagship checkpoint, so the official
     # artifact carries throughput and quality of the same config.  Guarded:
@@ -267,7 +272,22 @@ def run_worker(name: str, timeout: float) -> dict:
             [sys.executable, os.path.abspath(__file__), "--worker", name],
             capture_output=True, text=True, timeout=timeout,
         )
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as te:
+        # the worker prints a throughput-only JSON line before the quality
+        # add-on; salvage it from the partial stdout so a slow quality
+        # compile can never cost the measured number
+        partial = te.stdout or b""
+        if isinstance(partial, bytes):
+            partial = partial.decode(errors="replace")
+        for line in reversed(partial.splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    r = json.loads(line)
+                    r["quality_error"] = f"worker timeout after {timeout:.0f}s"
+                    return r
+                except json.JSONDecodeError:
+                    pass
         return {"name": name, "ok": False, "error": f"timeout after {timeout:.0f}s"}
     for line in reversed(p.stdout.splitlines()):
         line = line.strip()

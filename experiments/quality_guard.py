@@ -128,7 +128,10 @@ for name, (passes, kw) in CONFIGS.items():
     }
     print(f"{name:22s} deltas {deltas}  max {max(deltas.values()):+.3f}%",
           flush=True)
+    # write after EVERY config: a compile through the remote helper can
+    # take 16+ min, and an external timeout mid-sweep must not lose the
+    # entries that already completed
+    OUT.write_text(json.dumps(
+        {"generated_unix": time.time(), "results": results}, indent=1) + "\n")
 
-OUT.write_text(json.dumps(
-    {"generated_unix": time.time(), "results": results}, indent=1) + "\n")
 print("wrote", OUT)
