@@ -59,34 +59,34 @@ def _remaining() -> float:
     return DEADLINE_S - (time.monotonic() - _T_START)
 
 # Candidate registry: name -> (search_method, refine_iters, kwargs).
-# Headline: fused seqbeam kernel, beam width M=8, per-parent top-R=4,
-# 3 passes, "altparity" pool/R1 step schedule, 2-way sub-tile interleave,
-# bit-exact select-tree beam reorder, bf16 E storage — +0.96% relative
-# reconstruction error vs the reference beam-5 on the trained flagship
-# (inside the 1% parity bar, experiments/kernel_quality_d512_b8.json
-# "M8R4p3+altparity+sel+ebf16"; quality-identical to the gather/f32
-# variant, +10% throughput, experiments/ab_r3b.log).  gramv3-int8:
-# Gram-table kernel on the int8 MXU path (real-chip quality +0.91%,
-# experiments/kernel_quality_d512_b8.json).
+# Round-5 restructure (VERDICT r4 item 1 — four driver runs produced no
+# parsed number while kernel candidates sat behind 15-16 min Mosaic
+# compiles): the sweep now runs in ASCENDING compile-cost order and prints
+# a parseable best-so-far record after EVERY candidate.  The first
+# candidate is the pure-XLA coordinate-descent search, which compiles in
+# seconds and banks a >600K vec/s line in the first minutes of the run;
+# the fused kernel then has the rest of the budget to beat it.  The z0
+# int8E kernel candidate was dropped: z1 is bit-identical and faster
+# (784.3K vs 738.0K same-session, experiments/skewab_r4.log), so z0 only
+# cost a ~16-min compile slot.
 CANDIDATES = {
+    # Pure-XLA exact coordinate descent: compiles in seconds, measured
+    # 615K vec/s at B=8192 (experiments/bench_suite.json); the banker.
+    # Quality is honestly carried in the record (~+12% rel err vs beam-5
+    # — out of the parity bar, which is why the kernel remains the
+    # headline whenever it lands).
+    "cd x5 (pure-XLA fast-compile banker)": ("cd", 5, {}),
     # int8-resident E at block_b=512 with the zip_skew=1 software pipeline
     # (sub-tile phase streams skewed one phase so each MXU matmul is
-    # followed in emission order by the other sub-tile's independent VPU
+    # followed in emission order by the OTHER sub-tile's independent VPU
     # work): 784.3K vs 738.0K (z0) vec/s at B=32K in the same round-4
     # session A/B (experiments/skewab_r4.log); bit-identical outputs to
-    # z0, so the int8E quality numbers carry over (+0.96% vs beam-5,
-    # experiments/int8ec_quality_d512_b8.json)
+    # z0, so the int8E quality numbers carry over (worst eval seed +0.98%
+    # vs beam-5, ops/quality.json)
     "seqbeam int8E M8 R4 x3 altparity il2 sel b512 z1": (
         "seqbeam", 3,
         dict(M=8, R=4, pool_mask="altparity", block_b=512, interleave=2,
              reorder="select", e_dtype="int8", zip_skew=1),
-    ),
-    # int8-resident E without the skew: 789.6K vs 639.2K (bf16) vec/s at
-    # B=32K in the early round-4 A/B run (experiments/mask logs)
-    "seqbeam int8E M8 R4 x3 altparity il2 sel b512": (
-        "seqbeam", 3,
-        dict(M=8, R=4, pool_mask="altparity", block_b=512, interleave=2,
-             reorder="select", e_dtype="int8"),
     ),
 }
 # Opt-in extra candidates: gramv3-int8 lost the throughput race in every
@@ -133,6 +133,13 @@ def model_flops_per_vector(name: str) -> float:
             + 2.0 * dim * K
             + passes * (1 + (nc - 1) * M) * 2.0 * K * cs
         )
+    if name.startswith("cd"):
+        # exact coordinate descent, 5 sweeps: per sweep a full one-hot
+        # reconstruction plus, per codebook, remove + score + re-add
+        # matmuls (core/search.py:391-452)
+        sweeps = 5
+        per_sweep = 2.0 * nc * cs * dim + nc * 3.0 * 2.0 * dim * cs
+        return logits + sweeps * per_sweep
     return 0.0
 
 
@@ -347,10 +354,13 @@ def make_record(active: str, result: dict) -> dict:
 
 
 def main() -> None:
-    if not ensure_chip():
-        raise RuntimeError("device unavailable for benchmarking "
-                           "(pure-XLA preflight failed in fresh processes)")
+    # Round-5 restructure (VERDICT r4 item 1): no standalone preflight
+    # gate up front — the FIRST candidate is pure XLA and compiles in
+    # seconds, so it doubles as the preflight and banks a parseable
+    # best-so-far line within the first minutes.  ensure_chip() is only
+    # invoked to diagnose/ride out failures.
     best = None  # (vec_per_sec, record)
+    first = True
     for name in CANDIDATES:
         # compiles through the remote Mosaic helper are erratic (60s-25min
         # observed for the same program); the persistent cache makes the
@@ -360,7 +370,20 @@ def main() -> None:
             print(f"deadline: skipping remaining candidates at {name!r} "
                   f"({budget:.0f}s left)", file=sys.stderr)
             break
-        r = run_worker(name, timeout=max(300.0, min(2700.0, budget)))
+        # Cap the pure-XLA banker candidate's timeout: its compile is
+        # seconds, so a long hang means a cold/recovering device, and the
+        # kernel candidates need the remaining budget.
+        cap = 480.0 if first else 2700.0
+        r = run_worker(name, timeout=max(300.0, min(cap, budget)))
+        if first and not r.get("ok"):
+            # Cold device connects on this tunnel have been observed taking
+            # >300 s; distinguish "chip not up yet" from a real fault and
+            # give the banker one more try on a verified-up chip.
+            print(f"first candidate failed ({r.get('error', '?')}); "
+                  "running preflight retries", file=sys.stderr)
+            if ensure_chip():
+                r = run_worker(name, timeout=max(300.0, min(cap, _remaining())))
+        first = False
         if r.get("ok"):
             print(f"candidate {name}: {r['vec_per_sec']:.0f} vec/s",
                   file=sys.stderr)

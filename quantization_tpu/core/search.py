@@ -88,7 +88,7 @@ def compute_logits(
         jnp.dot(
             scale * x,
             params.to_logits_w.T,
-            precision=precision or _precision.MATMUL_PRECISION,
+            precision=_precision.MATMUL_PRECISION if precision is None else precision,
             preferred_element_type=jnp.float32,
         )
         + params.to_logits_b

@@ -998,7 +998,12 @@ def _seqbeam_kernel_v2(
                         ef_u = ef_u + cdi.astype(f32)
                     if BOUND:
                         s_u = s_adj + st["cmax_t"] * (1.0 / 127.0)
-                        q = jnp.round(ef_u * (1.0 / s_u)).astype(jnp.int8)
+                        # the inf-norm bound guarantees |ef_u/s_u| <= 127
+                        # only in exact arithmetic; clip so f32 rounding at
+                        # the bound edge can never wrap the int8 cast
+                        q = jnp.clip(
+                            jnp.round(ef_u * (1.0 / s_u)), -127.0, 127.0
+                        ).astype(jnp.int8)
                     else:
                         q, s_u = requant_rows(ef_u)
                     dst_ref[:, :] = q
@@ -1048,7 +1053,10 @@ def _seqbeam_kernel_v2(
                             ]
                         if BOUND:
                             s_u = lev_s[0] + st["cmax_t"] * (1.0 / 127.0)
-                            q = jnp.round(ef_u * (1.0 / s_u)).astype(jnp.int8)
+                            # clip: see the R1 bound-mode comment above
+                            q = jnp.clip(
+                                jnp.round(ef_u * (1.0 / s_u)), -127.0, 127.0
+                            ).astype(jnp.int8)
                         else:
                             q, s_u = requant_rows(ef_u)
                         dst_ref[m * B_s : (m + 1) * B_s, :] = q
@@ -1514,8 +1522,9 @@ def seqbeam_encode_indexes(
     phases with the other sub's VPU phases).  Bit-identical results —
     pure instruction-scheduling A/B (VERDICT r3 item 7)."""
     assert SEQBEAM_SUPPORTED(config), config
-    assert impl == "v2" or (e_dtype == "f32" and requant == "step"), (
-        impl, e_dtype, requant)
+    assert impl == "v2" or (
+        e_dtype == "f32" and requant == "step" and zip_skew == 0
+    ), (impl, e_dtype, requant, zip_skew)
     if pool_mask is not None:
         assert impl == "v2", "pool_mask requires impl='v2'"
         # "altparity" measured +0.96% vs beam-5 at M8R4p3 on the
@@ -1561,6 +1570,14 @@ def seqbeam_encode_indexes(
         B_s = block_b // SUBT
         if B_s not in (64, 128, 256, 512):
             SUBT, B_s = 1, block_b
+        # zip_skew is only honored on the static-mask interleaved path; a
+        # silent no-op would invalidate a perf A/B without any signal
+        # (results are identical either way), so reject it loudly.
+        assert not zip_skew or (SUBT > 1 and pool_mask is not None), (
+            "zip_skew requires interleave>=2 (dividing block_b into a "
+            "supported sub-tile height) and a static pool_mask; got "
+            f"SUBT={SUBT}, pool_mask={'static' if pool_mask is not None else None}"
+        )
         assert e_dtype in ("f32", "bf16", "int8"), e_dtype
         assert e_dtype == "f32" or reorder in ("select", "wideselect"), (
             "bf16/int8 E requires a select-tree reorder (dynamic_gather is "

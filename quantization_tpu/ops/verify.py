@@ -57,3 +57,30 @@ def quality_delta_pct(name: str):
     if not entry:
         return None
     return entry.get("max_delta_pct")
+
+
+def train_ratio_vs_torch() -> float:
+    """Measured rel-reconstruction-loss ratio of OUR shipped-default
+    trainer vs the torch reference on the flagship head-to-head
+    (experiments/head_to_head_d512_b8_10000+10000.json: 1.000109), carried
+    in quality.json so the guard ships with the package.  1.0 when
+    unrecorded."""
+    try:
+        return float(json.loads(_QUALITY.read_text()).get(
+            "train_ratio_vs_torch", 1.0))
+    except Exception:
+        return 1.0
+
+
+def combined_margin_pct(name: str):
+    """COMBINED shipped-default margin vs the torch reference, percent:
+    (train ratio x worst-seed encode delta) - 1.  This is the number the
+    1%-relative parity bar (BASELINE.json) is actually measured against —
+    gating on the encode delta alone understates the margin by the
+    training gap (VERDICT r4 item 4).  None when the config has no encode
+    measurement."""
+    delta = quality_delta_pct(name)
+    if delta is None:
+        return None
+    combined = train_ratio_vs_torch() * (1.0 + delta / 100.0)
+    return (combined - 1.0) * 100.0

@@ -167,3 +167,15 @@ def test_auto_margin_guard_demotes_out_of_bar_config(monkeypatch):
     assert len(calls) == n  # no kernel dispatch
     ref = core.encode(params, config, x, 5, search_method="beam")
     assert (np.asarray(out) == np.asarray(ref)).all()
+
+    # COMBINED margin (VERDICT r4 item 4): an encode delta that is inside
+    # the bar alone (0.95%) but crosses it once multiplied by the measured
+    # training ratio (x1.001 -> +1.051% combined) must also demote.
+    monkeypatch.setattr(verify_mod, "train_ratio_vs_torch", lambda: 1.001)
+    quality = {"seqbeam_hl_d512": 0.95, "seqbeam_m16_d512": 0.75}
+    core.encode(params, config, x, 5, search_method="auto")
+    assert calls[-1]["M"] == 16 and calls[-1]["passes"] == 2
+    # and with a parity-level trainer (ratio ~1.0) the same delta passes
+    monkeypatch.setattr(verify_mod, "train_ratio_vs_torch", lambda: 1.0)
+    core.encode(params, config, x, 5, search_method="auto")
+    assert calls[-1]["M"] == 8 and calls[-1]["passes"] == 3
