@@ -387,8 +387,19 @@ def main() -> None:
         if r.get("ok"):
             print(f"candidate {name}: {r['vec_per_sec']:.0f} vec/s",
                   file=sys.stderr)
-            if best is None or r["vec_per_sec"] > best[0]:
-                best = (r["vec_per_sec"], make_record(name, r))
+            # Ranking prefers IN-BAR candidates (measured quality delta
+            # within the 1% parity bar) over raw speed: the pure-XLA cd
+            # banker is lossy (~+3.4% vs beam-5) and can outrun the
+            # kernel, but the headline record must be a config a user
+            # could actually ship at quality parity.  A candidate with no
+            # quality measurement ranks as in-bar only if it is a kernel
+            # config (the hardware quality tables gate those separately).
+            delta = r.get("quality_delta_pct")
+            in_bar = delta <= 1.0 if delta is not None else \
+                name.startswith("seqbeam")
+            key = (in_bar, r["vec_per_sec"])
+            if best is None or key > best[0]:
+                best = (key, make_record(name, r))
             # Best-so-far record after EVERY candidate: the driver takes the
             # last parseable stdout line, so an external kill mid-sweep
             # still leaves the best completed measurement on record.
@@ -411,7 +422,7 @@ def main() -> None:
         if not r.get("ok"):
             raise RuntimeError(
                 f"fallback beam failed in a fresh process: {r.get('error')}")
-        best = (r["vec_per_sec"], make_record(name, r))
+        best = ((True, r["vec_per_sec"]), make_record(name, r))
     print(json.dumps(best[1]), flush=True)
 
 

@@ -70,14 +70,25 @@ CONFIGS = {
     # v1 implementation
     "seqbeam_v1_d512": (512, 8, "seqbeam", 3,
         dict(M=8, R=4, block_b=128, impl="v1")),
-    # gramv3 kernel, both table dtypes
-    "gramv3_bf16_d512": (512, 8, "gramv3", 3,
-        dict(M=8, R=4, block_b=256, g_dtype="bf16")),
-    "gramv3_int8_d512": (512, 8, "gramv3", 3,
-        dict(M=8, R=4, block_b=256, g_dtype="int8", interleave=2)),
     # fused decode kernel ("decode" method handled specially below)
     "decode_kernel_d512": (512, 8, "decode", 0, {}),
+    # COMPILED Mosaic kernel x shard_map composition on a real-hardware
+    # 1-device mesh (VERDICT r4 item 5: the dryrun's 8-device leg runs
+    # interpret=True off-TPU; this row certifies the compiled composition
+    # on the chip — multi-chip hardware is not reachable here).  Config =
+    # the shipped auto default ("shardmap" method handled specially below).
+    "seqbeam_shardmap_d512": (512, 8, "shardmap", 3,
+        dict(M=8, R=4, pool_mask="altparity", block_b=512, interleave=2,
+             reorder="select", e_dtype="int8", zip_skew=1)),
 }
+# gramv3 is FROZEN as of round 5 (lost every default-path throughput race;
+# see the README retirement note) — its smoke rows run only on request so
+# the default rotation spends chip time on shipped configs.
+if os.environ.get("QTPU_SMOKE_EXTRA"):
+    CONFIGS["gramv3_bf16_d512"] = (512, 8, "gramv3", 3,
+        dict(M=8, R=4, block_b=256, g_dtype="bf16"))
+    CONFIGS["gramv3_int8_d512"] = (512, 8, "gramv3", 3,
+        dict(M=8, R=4, block_b=256, g_dtype="int8", interleave=2))
 
 
 def run_one(name: str) -> dict:
@@ -111,6 +122,23 @@ def run_one(name: str) -> dict:
         rel = float(np.abs(y - yr).max() / (np.abs(yr).max() + 1e-9))
         assert rel < 5e-3, f"decode kernel mismatch {rel}"
         return {"ok": True, "detail": f"max rel dev {rel:.2e} vs gather"}
+
+    if method == "shardmap":
+        # compiled kernel under shard_map on a 1-device mesh: the result
+        # must be bit-identical to the direct kernel call on the same data
+        from quantization_tpu.parallel import bulk as pbulk
+        from quantization_tpu.parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh(num_data=1, devices=jax.devices()[:1])
+        sm = np.asarray(pbulk.encode_sharded(
+            params, config, x, mesh, refine_indexes_iters=iters,
+            search_method="seqbeam", **kw))
+        direct = np.asarray(jax.jit(lambda p, x: core.encode(
+            p, config, x, refine_indexes_iters=iters, as_bytes=True,
+            search_method="seqbeam", **kw))(params, x))
+        assert np.array_equal(sm, direct), "shard_map vs direct mismatch"
+        return {"ok": True,
+                "detail": f"bit-identical to direct kernel on {sm.shape}"}
 
     enc = jax.jit(lambda p, x: core.encode(
         p, config, x, refine_indexes_iters=iters, as_bytes=False,

@@ -123,7 +123,11 @@ SCHED = {"allpool": lambda p: (ALL,) * p,
              (EVEN, ODD)[i % 2] for i in range(p - 1)),
          # masked first pass, full-pool polish last
          "alllast": lambda p: tuple(
-             (EVEN, ODD)[i % 2] for i in range(p - 1)) + (ALL,)}
+             (EVEN, ODD)[i % 2] for i in range(p - 1)) + (ALL,),
+         # pool every 3rd codebook, rotating by pass (1/3 the pool steps
+         # of allpool; 2/3 of altparity) — round-5 cheap-selection screen
+         "p3rot": lambda p: tuple(
+             tuple(t % 3 == i % 3 for t in range(nc)) for i in range(p))}
 
 results = {"beam5": rel_err(jax.jit(lambda x: search.compute_indexes(
     params, config, x, refine_indexes_iters=5, search="beam"))(x))}

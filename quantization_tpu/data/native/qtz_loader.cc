@@ -28,6 +28,11 @@
 #include <thread>
 #include <vector>
 
+#if defined(__x86_64__) || defined(__i386__)
+#include <immintrin.h>
+#define QTZ_X86 1
+#endif
+
 namespace {
 
 // Minimal IEEE binary16 -> binary32 conversion (no F16C dependency).
@@ -56,6 +61,36 @@ inline float f16_to_f32(uint16_t h) {
   float out;
   std::memcpy(&out, &bits, sizeof(out));
   return out;
+}
+
+void convert_scalar(const uint16_t* src, float* dst, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) dst[i] = f16_to_f32(src[i]);
+}
+
+#ifdef QTZ_X86
+// Hardware half->float conversion: 8 lanes per instruction.  Compiled with
+// a per-function target attribute so the library still builds and runs on
+// hosts without F16C (runtime-dispatched below).
+__attribute__((target("f16c,avx"))) void convert_f16c(const uint16_t* src,
+                                                      float* dst, int64_t n) {
+  int64_t i = 0;
+  for (; i + 8 <= n; i += 8) {
+    __m128i h = _mm_loadu_si128(reinterpret_cast<const __m128i*>(src + i));
+    _mm256_storeu_ps(dst + i, _mm256_cvtph_ps(h));
+  }
+  for (; i < n; ++i) dst[i] = f16_to_f32(src[i]);
+}
+#endif
+
+void convert_f16_block(const uint16_t* src, float* dst, int64_t n) {
+#ifdef QTZ_X86
+  static const bool has_f16c = __builtin_cpu_supports("f16c");
+  if (has_f16c) {
+    convert_f16c(src, dst, n);
+    return;
+  }
+#endif
+  convert_scalar(src, dst, n);
 }
 
 struct Shard {
@@ -94,29 +129,40 @@ class Loader {
   }
 
   // Fill out[batch * dim] float32.  Returns frames written (0 = exhausted).
+  //
+  // Round-5 restructure (the original converted f16->f32 scalar, per
+  // frame, INSIDE the pool mutex — 0.42M frames/s single-core): the lock
+  // now only covers the index draws and f16 row moves into a staging
+  // buffer; the f16->f32 conversion runs outside the lock as one linear
+  // pass (F16C hardware conversion where available).  Readers refill the
+  // pool concurrently with the conversion.
   int64_t next(float* out) {
-    std::unique_lock<std::mutex> lk(mu_);
+    staging_.resize((size_t)batch_ * dim_);
     int64_t produced = 0;
-    for (; produced < batch_; ++produced) {
-      cv_data_.wait(lk, [&] {
-        return pool_size_ > 0 || (done_reading_ && pool_size_ == 0) || stop_;
-      });
-      if (stop_) break;
-      if (pool_size_ == 0) break;  // exhausted (non-repeat end of corpus)
-      // Draw a uniformly random pooled frame; backfill the hole with the
-      // last frame so the pool stays dense.
-      std::uniform_int_distribution<int64_t> pick(0, pool_size_ - 1);
-      int64_t j = pick(rng_);
-      const uint16_t* src = &pool_[(size_t)j * dim_];
-      float* dst = out + (size_t)produced * dim_;
-      for (int64_t d = 0; d < dim_; ++d) dst[d] = f16_to_f32(src[d]);
-      --pool_size_;
-      if (j != pool_size_) {
-        std::memcpy(&pool_[(size_t)j * dim_], &pool_[(size_t)pool_size_ * dim_],
-                    (size_t)dim_ * sizeof(uint16_t));
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      for (; produced < batch_; ++produced) {
+        cv_data_.wait(lk, [&] {
+          return pool_size_ > 0 || (done_reading_ && pool_size_ == 0) || stop_;
+        });
+        if (stop_) break;
+        if (pool_size_ == 0) break;  // exhausted (non-repeat end of corpus)
+        // Draw a uniformly random pooled frame; backfill the hole with the
+        // last frame so the pool stays dense.
+        std::uniform_int_distribution<int64_t> pick(0, pool_size_ - 1);
+        int64_t j = pick(rng_);
+        std::memcpy(&staging_[(size_t)produced * dim_],
+                    &pool_[(size_t)j * dim_], (size_t)dim_ * sizeof(uint16_t));
+        --pool_size_;
+        if (j != pool_size_) {
+          std::memcpy(&pool_[(size_t)j * dim_],
+                      &pool_[(size_t)pool_size_ * dim_],
+                      (size_t)dim_ * sizeof(uint16_t));
+        }
       }
-      cv_space_.notify_one();
+      cv_space_.notify_all();
     }
+    convert_f16_block(staging_.data(), out, produced * dim_);
     return produced;
   }
 
@@ -160,13 +206,18 @@ class Loader {
 
   bool push_frames(const uint16_t* frames, int64_t n) {
     std::unique_lock<std::mutex> lk(mu_);
-    for (int64_t i = 0; i < n; ++i) {
+    int64_t i = 0;
+    while (i < n) {
       cv_space_.wait(lk, [&] { return pool_size_ < pool_capacity_ || stop_; });
       if (stop_) return false;
+      // copy as many contiguous frames as fit in one lock hold
+      int64_t take = std::min(n - i, pool_capacity_ - pool_size_);
       std::memcpy(&pool_[(size_t)pool_size_ * dim_],
-                  frames + (size_t)i * dim_, (size_t)dim_ * sizeof(uint16_t));
-      ++pool_size_;
-      cv_data_.notify_one();
+                  frames + (size_t)i * dim_,
+                  (size_t)take * dim_ * sizeof(uint16_t));
+      pool_size_ += take;
+      i += take;
+      cv_data_.notify_all();
     }
     return true;
   }
@@ -177,6 +228,7 @@ class Loader {
   int num_threads_;
   std::mt19937_64 rng_;
   std::vector<uint16_t> pool_;
+  std::vector<uint16_t> staging_;  // f16 rows drawn this batch (next() only)
   int64_t pool_size_ = 0;
   bool stop_ = false, done_reading_ = false;
   int finished_readers_ = 0;
