@@ -467,6 +467,7 @@ def _seqbeam_kernel_v2(
     e_dtype: str = "f32",
     requant: str = "step",
     zip_skew: int = 0,
+    sel_impl: str = "lohi",
 ):
     """Restructured sequential-beam kernel (v2).
 
@@ -561,6 +562,7 @@ def _seqbeam_kernel_v2(
     assert requant in ("step", "pass", "bound") and (requant == "step" or INT8)
     FIXS = requant == "pass"
     BOUND = requant == "bound"
+    assert sel_impl in ("lohi", "fold"), sel_impl
 
     def pad_row(row):  # (rows, B_s) -> (rows, CW)
         if B_s == CW:
@@ -602,8 +604,31 @@ def _seqbeam_kernel_v2(
         enc = _encode_scores(S, lanes)
         lo = enc[:, 0:128]
         hi = enc[:, 128:256]
-        lane_h = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
         outs = []
+        if sel_impl == "fold":
+            # Fold ONCE and, per extraction, PROMOTE the consumed lane's
+            # pair partner: g holds the pairwise min, gmax the pairwise max.
+            # When the global min is extracted, its lane is replaced by the
+            # partner (g <- gmax there) and the partner is retired
+            # (gmax <- _INF there), so the second-best of a folded pair
+            # stays reachable — the exact semantics of the lo/hi variant,
+            # which re-minimums both halves every round.  The equality mask
+            # hits exactly one lane: packed values are unique (the 8-bit
+            # codeword id rides in the low mantissa bits and each id lands
+            # in one lane; _INF carries no id and can never be an extracted
+            # min while rounds < live lanes).  Bit-identical extraction
+            # order at ~2 fewer full-width VPU passes per round (no fresh
+            # minimum, one equality instead of two lane-indexed masks).
+            g = jnp.minimum(lo, hi)
+            gmax = jnp.maximum(lo, hi)
+            for _ in range(rounds):
+                val, pos, emin = _min_packed(g)
+                hit = g == emin
+                g = jnp.where(hit, gmax, g)
+                gmax = jnp.where(hit, _INF, gmax)
+                outs.append((val, pos, emin))
+            return outs
+        lane_h = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
         for _ in range(rounds):
             val, pos, emin = _min_packed(jnp.minimum(lo, hi))
             lo = jnp.where(lane_h == pos, _INF, lo)
@@ -908,6 +933,10 @@ def _seqbeam_kernel_v2(
 
         def ph3_move():
             if last:
+                return
+            if not pool and "r1move" in _SKIP:
+                # bisect-only: drop the R1 in-place dequant+extend+requant
+                # entirely (results WRONG) to attribute its device time
                 return
             if INT8:
                 # All arithmetic below runs in csc[t] UNITS: the int32
@@ -1444,7 +1473,7 @@ def _seqbeam_kernel_v2(
     static_argnames=(
         "config", "M", "R", "passes", "block_b", "interpret", "impl",
         "interleave", "pool_mask", "cross_value", "reorder", "e_dtype",
-        "requant", "zip_skew", "init_precision",
+        "requant", "zip_skew", "init_precision", "sel_impl",
     ),
 )
 def seqbeam_encode_indexes(
@@ -1466,6 +1495,7 @@ def seqbeam_encode_indexes(
     requant: str = "step",
     zip_skew: int = 0,
     init_precision: str = "highest",
+    sel_impl: str = "lohi",
 ) -> jax.Array:
     """Encode (B, dim) frames to (B, nc) int32 indexes with the fused
     sequential-beam kernel.  Initialisation (logits argmax, or the caller's
@@ -1520,11 +1550,19 @@ def seqbeam_encode_indexes(
     matmul is followed in program order by the other sub-tile's
     INDEPENDENT work instead of its own consumer (odd skews pair MXU
     phases with the other sub's VPU phases).  Bit-identical results —
-    pure instruction-scheduling A/B (VERDICT r3 item 7)."""
+    pure instruction-scheduling A/B (VERDICT r3 item 7).
+
+    ``sel_impl`` (v2 only): "lohi" (original) re-minimums the two folded
+    128-lane halves every selection round and masks the extracted lane in
+    both; "fold" folds once and masks each extracted min by packed-value
+    equality (unique by construction) — bit-identical extraction order,
+    ~3 fewer full-width VPU passes per round in the kernel's dominant
+    selection phase."""
     assert SEQBEAM_SUPPORTED(config), config
     assert impl == "v2" or (
         e_dtype == "f32" and requant == "step" and zip_skew == 0
-    ), (impl, e_dtype, requant, zip_skew)
+        and sel_impl == "lohi"
+    ), (impl, e_dtype, requant, zip_skew, sel_impl)
     if pool_mask is not None:
         assert impl == "v2", "pool_mask requires impl='v2'"
         # "altparity" measured +0.96% vs beam-5 at M8R4p3 on the
@@ -1613,7 +1651,7 @@ def seqbeam_encode_indexes(
             _seqbeam_kernel_v2, B_t=block_b, D=D, nc=nc, cs=cs, M=M, R=R,
             passes=passes, SUBT=SUBT, pool_mask=pool_mask,
             cross_value=cross_value, reorder=reorder, e_dtype=e_dtype,
-            requant=requant, zip_skew=zip_skew,
+            requant=requant, zip_skew=zip_skew, sel_impl=sel_impl,
         )
     else:
         scratch = [

@@ -669,3 +669,27 @@ def test_requant_bound_improves_over_init():
         e_dtype="int8", requant="bound", zip_skew=1, interpret=True)
     err = float(jnp.sum((decode_indexes(centers, jnp.asarray(out)) - x) ** 2))
     assert err < err0, (err, err0)
+
+
+def test_sel_fold_is_bit_identical():
+    """sel_impl="fold" replaces the per-round lo/hi re-minimum with a
+    partner-promotion scheme (g holds pair mins, gmax the pair maxes;
+    extraction promotes the consumed lane's partner) — the same multiset is
+    extracted in the same order, so outputs must be bit-identical on the
+    fori, static-schedule, and int8 paths, including M=16 fan-outs."""
+    from quantization_tpu.ops.seqbeam import seqbeam_encode_indexes
+
+    config = core.QuantizerConfig(dim=128, codebook_size=256, num_codebooks=4)
+    params = core.init_quantizer_params(jax.random.PRNGKey(40), config)
+    x = jax.random.normal(jax.random.PRNGKey(41), (128, 128))
+    for kw in (
+        dict(M=8, R=4),
+        dict(M=8, R=4, pool_mask="altparity", interleave=2,
+             reorder="select", e_dtype="int8"),
+        dict(M=16, R=4, pool_mask="altparity", reorder="select"),
+    ):
+        o_ref = seqbeam_encode_indexes(params, config, x, passes=2,
+                                       interpret=True, **kw)
+        o_f = seqbeam_encode_indexes(params, config, x, passes=2,
+                                     interpret=True, sel_impl="fold", **kw)
+        assert (np.asarray(o_ref) == np.asarray(o_f)).all(), kw
