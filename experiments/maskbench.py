@@ -62,6 +62,7 @@ for name in names:
     #        ei8b = int8 E with bound-propagated scales (requant="bound"),
     #        m<N>/r<N>/p<N> = M/R/passes, z<N> = zip_skew,
     #        sf = sel_impl="fold" (single-fold equality-masked selection),
+    #        lz = lazy_r1 (defer R1 deltas into the next pool step),
     #        fi = init_precision="default" (single-pass bf16 init logits),
     #        v3 = gramv3 kernel (bf16 tables), v3i8 = gramv3 int8 tables
     parts = name.split(":")
@@ -77,6 +78,7 @@ for name in names:
     ro = ("wideselect" if "wsel" in flags
           else "select" if "sel" in flags else "gather")
     si = "fold" if "sf" in flags else "lohi"
+    lz = "lz" in flags
     M = R = p = zs = None
     for fl in flags:
         if fl and fl[0] in "mrpz" and fl[1:].isdigit():
@@ -98,11 +100,12 @@ for name in names:
     else:
         ip = "default" if "fi" in flags else "highest"
         f = jax.jit(lambda x, m=mask, bb=bb, il=il, xv=xv, ro=ro, M=M, R=R,
-                    p=p, ed=ed, rq=rq, zs=zs, ip=ip, si=si:
+                    p=p, ed=ed, rq=rq, zs=zs, ip=ip, si=si, lz=lz:
                     seqbeam.seqbeam_encode_indexes(
             params, cfg, x, M=M, R=R, passes=p, pool_mask=m, block_b=bb,
             interleave=il, cross_value=xv, reorder=ro, e_dtype=ed,
-            requant=rq, zip_skew=zs, init_precision=ip, sel_impl=si))
+            requant=rq, zip_skew=zs, init_precision=ip, sel_impl=si,
+            lazy_r1=lz))
     try:
         t0 = time.perf_counter()
         dt = fetch_time(f)

@@ -7,7 +7,9 @@ flagship checkpoint at SEVERAL eval seeds, and records the max delta.
 ``core.codec.encode(search_method="auto")`` demotes any candidate whose
 max measured delta exceeds the 1% parity bar (ops/verify.quality_delta_pct).
 
-Run on the real chip:  python experiments/quality_guard.py [dim] [bpf]
+Run on the real chip:  python experiments/quality_guard.py [dim] [bpf] [name ...]
+(names filter CONFIGS — each config costs a kernel compile, so measure
+only what changed; no names = all).
 Merges into quantization_tpu/ops/quality.json (per-entry timestamps).
 """
 import json
@@ -66,6 +68,13 @@ if dim == 512:
             M=8, R=4, pool_mask="altparity", block_b=512, interleave=2,
             reorder="select", e_dtype="int8", requant="bound",
             init_precision="default")),
+        # promotion candidate (round 5): lazy_r1 — R1 steps defer their
+        # delta into the next pool step (bf16 Gram score correction +
+        # merged extension); NOT bit-identical to eager, so it needs its
+        # own measured rows before any auto promotion
+        "seqbeam_int8e_lazy_d512": (3, dict(
+            M=8, R=4, pool_mask="altparity", block_b=512, interleave=2,
+            reorder="select", e_dtype="int8", zip_skew=1, lazy_r1=True)),
     }
 else:
     CONFIGS = {
@@ -76,6 +85,12 @@ else:
             M=8, R=4, pool_mask="altparity", block_b=256, interleave=2,
             reorder="select", e_dtype="int8")),
     }
+
+only = set(sys.argv[3:])
+if only:
+    unknown = only - set(CONFIGS)
+    assert not unknown, (unknown, sorted(CONFIGS))
+    CONFIGS = {k: v for k, v in CONFIGS.items() if k in only}
 
 q = load_quantizer(HERE / f"q{dim}_{bpf}_full.npz")
 params, config = q.params, q.config

@@ -21,6 +21,20 @@ altparity / +1.90% allpool / +1.39% at M16; R=2 pool rounds +1.12% — do
 not retry; top-R=4 per parent + pool is the quality floor.  dim=64/4B: M=32 x3 -0.9% (beats the
 reference).  See the README quality table.
 
+Round-5 scheduling/VPU A/Bs on the int8E z1 flagship (B=32K, same session,
+experiments/ab_r5a.log + ab_r5b.log) — all NEGATIVE or wash; do not retry
+without a layout-level redesign: sel_impl="fold" (2 fewer VPU passes per
+selection round, bit-identical) +0.5% = noise; interleave=4 (deeper
+sub-tile pipelining) -1.3% to -5.7%; lazy_r1 (defer R1 deltas into the
+next pool step's merged move, killing the whole R1 (M*B_s, D)
+dequant/extend/requant chain) -3.6% — the pool-step Gram correction +
+merged-extension overhead exceeds the skipped R1 work.  Together with the
+round-4 washes (requant="bound"/"pass", init_precision="default",
+experiments/fiab_r4.log), the kernel sits at a measured local optimum
+under Mosaic's scheduler; the selection rounds' cross-lane min trees are
+the remaining VPU floor and shrink only with a physical layout change
+(sub-128-lane arrays still occupy full 8x128 vregs).
+
 TPU mapping notes (v5e, Mosaic), learned the hard way:
 * rescoring is one (M*B_t, dim) x (dim, cs) bf16 MXU matmul per codebook,
   taken directly on the candidate error buffer; the "remove codebook t's
@@ -468,6 +482,7 @@ def _seqbeam_kernel_v2(
     requant: str = "step",
     zip_skew: int = 0,
     sel_impl: str = "lohi",
+    lazy_r1: bool = False,
 ):
     """Restructured sequential-beam kernel (v2).
 
@@ -508,6 +523,26 @@ def _seqbeam_kernel_v2(
     # pool packing: j (8 bits) + parent (log2 M bits) in the low mantissa
     assert M & (M - 1) == 0 and M * R <= 512, (M, R)
     INT8 = e_dtype == "int8"
+    # lazy_r1 (round 5): R1 steps SKIP their extension matmul and the whole
+    # in-place E move (dequant + extend + requant over (M*B_s, D) — pure
+    # VPU); the not-yet-applied codeword delta is deferred one step into
+    # the next pool step, which (a) corrects its rescore via the
+    # cross-codebook Gram block Gx[t][i, j] = c_{t-1}(i) . c_t(j) (one
+    # extra one-hot matmul on the MXU) and (b) applies both deltas in its
+    # reorder+extension move.  Requires a static schedule with no two
+    # consecutive deferring R1 steps (altparity qualifies), the select-tree
+    # reorder, and step requant.  NOT bit-identical to eager: the Gram
+    # correction runs in bf16 while the eager path's delta flows through
+    # the exact int8/f32 E update (the skipped R1 requantization round-trip
+    # slightly REDUCES cumulative quantization error, the bf16 correction
+    # slightly perturbs scores) — quality must be re-measured on chip
+    # before promotion (tests assert near-total index agreement).
+    if lazy_r1:
+        gx_ref, *rest = rest
+        assert pool_mask is not None and not cross_value
+        assert requant == "step" and reorder == "select"
+    else:
+        gx_ref = None
     # cmax (the requant="bound" scale-step input) is only passed in bound
     # mode so every pre-existing int8 program stays byte-identical (and the
     # persistent compile cache stays warm for them)
@@ -638,7 +673,8 @@ def _seqbeam_kernel_v2(
 
     def codebook_step_phases(t, ctx, src, dst_ref, ss_col, first, last,
                              ch_src, ch_dst, pool=True,
-                             s_src=None, s_dst=None):
+                             s_src=None, s_dst=None,
+                             pend_in=False, pend_out=False, cell=None):
         """One beam step on codebook t for one sub-tile, split into four
         phases so the driver can ZIP phases across independent sub-tiles:
 
@@ -666,7 +702,14 @@ def _seqbeam_kernel_v2(
         step updates both in place.  R1-everywhere saturates at +1.26% vs
         the reference beam-5 (outside the 1% bar); mixed schedules that
         keep a fraction of pool steps recover the quality at a fraction of
-        the bookkeeping cost (experiments/pool_schedule_sweep.py)."""
+        the bookkeeping cost (experiments/pool_schedule_sweep.py).
+
+        ``pend_out`` (lazy_r1): this R1 step DEFERS its E update — ph2/ph3
+        are skipped and ph1 stashes (j, j_col, sol_t) in ``cell``.
+        ``pend_in``: the previous step deferred — ph0 computes the Gram
+        score correction, ph1 adds it to the dequantized cross, and
+        ph2/ph3 apply BOTH codebooks' deltas in the merged move (always a
+        pool step by the schedule constraint)."""
         cross_ref, sol_ref = ctx[2], ctx[5]
         st = {}  # values handed between phases
 
@@ -711,6 +754,19 @@ def _seqbeam_kernel_v2(
                     st["cross"] = matmul_nt(src[:, :], ctab)
                 else:
                     cross_ref[:, :] = matmul_nt(src[:, :], ctab)
+            if pend_in and "lazycorr" not in _SKIP:
+                # pending R1 deferral from codebook t-1: the E buffers are
+                # stale by delta = c_{t-1}(j) - c_{t-1}(i); correct this
+                # step's scores via the cross-codebook Gram block
+                # Gx[t][i, j] = c_{t-1}(i) . c_t(j) (one one-hot MXU
+                # matmul instead of the skipped (M*B_s, D) E update)
+                assert pool and not first
+                gxt = gx_ref[pl.ds(t * cs, cs), :]  # (cs, cs) bf16
+                solp_stack = jnp.concatenate([cell["sol"]] * M, axis=0)
+                ohd_prev = (lane_full == cell["j_col"]).astype(bf16) - (
+                    lane_full == solp_stack
+                ).astype(bf16)
+                st["corr"] = matmul(ohd_prev, gxt)  # (M*B_s, cs) f32
             st.update(sol_t=sol_t, ctab=ctab, oh_cur=oh_cur, shared=shared)
 
         def ph1_select():
@@ -744,6 +800,9 @@ def _seqbeam_kernel_v2(
                         cross = cross.astype(f32) * (
                             s_src[:, :] * st["csc_t"]
                         )
+                if "corr" in st:
+                    # deferred-R1 Gram correction (absolute units)
+                    cross = cross + st["corr"]
                 if "assembly" in _SKIP:
                     S_full = cross
                 else:
@@ -812,6 +871,10 @@ def _seqbeam_kernel_v2(
                 )
             else:
                 j = jnp.concatenate(j_cols, axis=1)  # (B_s, M)
+            if pend_out:
+                # deferring R1 step: stash the selection for the next pool
+                # step's Gram correction + merged extension
+                cell["j"], cell["j_col"], cell["sol"] = j, j_col, st["sol_t"]
             j_pad = pad_row(j.T)  # (M, CW)
             parent_T = (
                 None if (first or parent is None) else parent.T
@@ -893,9 +956,37 @@ def _seqbeam_kernel_v2(
         def ph2_ext():
             if last:
                 return
+            if pend_out:
+                # deferring R1 step: no extension matmul — the next pool
+                # step's merged move applies this codebook's delta
+                return
             if "ext" in _SKIP:
                 st["c_delta"] = None
                 return
+            if pend_in and "lazyext" not in _SKIP:
+                # gather the deferred j_{t-1} through each destination
+                # block's parent (tiny (B_s, M) masked reduces), then form
+                # the previous codebook's one-hot delta; its matmul stays
+                # SEPARATE in int8 mode (the int8 tables are in
+                # per-codebook units) and merges into c_delta otherwise
+                jp = cell["j"]  # (B_s, M) by OLD slot
+                cols = []
+                for m in range(M):
+                    pm = jnp.sum(
+                        jnp.where(lane_m == m, st["parent"], 0),
+                        axis=1, keepdims=True,
+                    )
+                    cols.append(
+                        jnp.sum(
+                            jnp.where(lane_m == pm, jp, 0),
+                            axis=1, keepdims=True,
+                        )
+                    )
+                jp_dst = jnp.concatenate(cols, axis=0)  # (M*B_s, 1)
+                solp_stack = jnp.concatenate([cell["sol"]] * M, axis=0)
+                st["ohd_prev"] = (lane_full == jp_dst).astype(f32) - (
+                    lane_full == solp_stack
+                ).astype(f32)
             if INT8 and not first:
                 # one-hot difference is exactly representable in int8, so
                 # the extension matmul rides the 2x int8 path too.  Its
@@ -917,11 +1008,27 @@ def _seqbeam_kernel_v2(
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )  # (M*B_s, D)
+                if "ohd_prev" in st:
+                    # deferred delta of codebook t-1: int32 counts in
+                    # csc[t-1] units (ph3 rescales by csc[t-1]/csc[t])
+                    st["c_delta_prev_i32"] = jax.lax.dot_general(
+                        st["ohd_prev"].astype(jnp.int8),
+                        centers_i8_ref[pl.ds((t - 1) * cs, cs), :],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    st["csc_prev"] = csc_ref[pl.ds(t - 1, 1), :]  # (1, 1)
                 return
             oh_diff = (lane_full == st["j_col"]).astype(bf16) - jnp.concatenate(
                 [st["oh_cur"]] * M, axis=0
             )
-            st["c_delta"] = matmul(oh_diff, st["ctab"])  # (M*B_s, D)
+            c_delta = matmul(oh_diff, st["ctab"])  # (M*B_s, D)
+            if "ohd_prev" in st:
+                # absolute units: the deferred delta merges directly
+                c_delta = c_delta + matmul(
+                    st["ohd_prev"], centers_ref[pl.ds((t - 1) * cs, cs), :]
+                )
+            st["c_delta"] = c_delta
 
         def requant_rows(ef):
             """Symmetric per-row int8 requantize of a f32 block: returns
@@ -933,6 +1040,11 @@ def _seqbeam_kernel_v2(
 
         def ph3_move():
             if last:
+                return
+            if pend_out:
+                # deferring R1 step: the (M*B_s, D) dequant + extend +
+                # requant chain — pure VPU — is skipped entirely; the next
+                # pool step's merged move applies the delta
                 return
             if not pool and "r1move" in _SKIP:
                 # bisect-only: drop the R1 in-place dequant+extend+requant
@@ -1080,6 +1192,15 @@ def _seqbeam_kernel_v2(
                             ef_u = ef_u + cdi.astype(f32)[
                                 m * B_s : (m + 1) * B_s, :
                             ]
+                        cdip = st.get("c_delta_prev_i32")
+                        if cdip is not None:
+                            # deferred delta in csc[t-1] units: rescale by
+                            # csc[t-1]/csc[t] via a COLUMN broadcast (a
+                            # (rows, D) x (1, 1) product is rejected)
+                            rcol = lev_s[0] * 0.0 + st["csc_prev"] * inv_csc
+                            ef_u = ef_u + cdip.astype(f32)[
+                                m * B_s : (m + 1) * B_s, :
+                            ] * rcol
                         if BOUND:
                             s_u = lev_s[0] + st["cmax_t"] * (1.0 / 127.0)
                             # clip: see the R1 bound-mode comment above
@@ -1303,25 +1424,34 @@ def _seqbeam_kernel_v2(
             # steps ping-pong E/chosen; R1 steps update them in place.
             e_cur, e_alt = 0, 1  # ctx slot indexes: EA_ref, EB_ref
             ch_cur, ch_alt = 3, 4  # chosenA, chosenB (step 0 seeded A)
+            cells = [dict() for _ in range(SUBT)]  # lazy_r1 pending state
+            prev_defer = False
             for t in range(1, nc):
                 pool = bool(mask[t])
                 last = t == nc - 1
+                defer = lazy_r1 and not pool and not last
                 if pool:
                     sss = run_zipped([
                         (t, ctxs[s], ctxs[s][e_cur], ctxs[s][e_alt], sss[s],
                          False, last, ctxs[s][ch_cur], ctxs[s][ch_alt], True,
-                         _s(ctxs[s], e_cur), _s(ctxs[s], e_alt))
+                         _s(ctxs[s], e_cur), _s(ctxs[s], e_alt),
+                         prev_defer, False, cells[s])
                         for s in range(SUBT)
                     ])
                     e_cur, e_alt = e_alt, e_cur
                     ch_cur, ch_alt = ch_alt, ch_cur
                 else:
+                    assert not prev_defer, (
+                        "lazy_r1 requires no two consecutive deferring R1 "
+                        "steps", mask)
                     sss = run_zipped([
                         (t, ctxs[s], ctxs[s][e_cur], ctxs[s][e_cur], sss[s],
                          False, last, ctxs[s][ch_cur], ctxs[s][ch_cur], False,
-                         _s(ctxs[s], e_cur), _s(ctxs[s], e_cur))
+                         _s(ctxs[s], e_cur), _s(ctxs[s], e_cur),
+                         False, defer, cells[s])
                         for s in range(SUBT)
                     ])
+                prev_defer = defer
             ch_fin = ch_cur
 
         # ---- pass end: best candidate per sub via block-wise packed min
@@ -1405,24 +1535,32 @@ def _seqbeam_kernel_v2(
 
             yield from wrap(root_phases())
             e_cur, e_alt, ch_cur, ch_alt = 0, 1, 3, 4
+            cell = {}  # lazy_r1 pending state (per sub-tile stream)
+            prev_defer = False
             for t in range(1, nc):
                 pool = bool(mask[t])
                 last = t == nc - 1
+                defer = lazy_r1 and not pool and not last
                 if pool:
                     def mk(t=t, ec=e_cur, ea=e_alt, cc=ch_cur, ca=ch_alt,
-                           last=last):
+                           last=last, pi=prev_defer):
                         return codebook_step_phases(
                             t, ctx, ctx[ec], ctx[ea], ss_cell[0], False,
                             last, ctx[cc], ctx[ca], True,
-                            _s(ctx, ec), _s(ctx, ea))
+                            _s(ctx, ec), _s(ctx, ea), pi, False, cell)
                     e_cur, e_alt = e_alt, e_cur
                     ch_cur, ch_alt = ch_alt, ch_cur
                 else:
-                    def mk(t=t, ec=e_cur, cc=ch_cur, last=last):
+                    assert not prev_defer, (
+                        "lazy_r1 requires no two consecutive deferring R1 "
+                        "steps", mask)
+
+                    def mk(t=t, ec=e_cur, cc=ch_cur, last=last, po=defer):
                         return codebook_step_phases(
                             t, ctx, ctx[ec], ctx[ec], ss_cell[0], False,
                             last, ctx[cc], ctx[cc], False,
-                            _s(ctx, ec), _s(ctx, ec))
+                            _s(ctx, ec), _s(ctx, ec), False, po, cell)
+                prev_defer = defer
                 yield from wrap(mk())
             finals[sub] = (ss_cell, ch_cur)
 
@@ -1473,7 +1611,7 @@ def _seqbeam_kernel_v2(
     static_argnames=(
         "config", "M", "R", "passes", "block_b", "interpret", "impl",
         "interleave", "pool_mask", "cross_value", "reorder", "e_dtype",
-        "requant", "zip_skew", "init_precision", "sel_impl",
+        "requant", "zip_skew", "init_precision", "sel_impl", "lazy_r1",
     ),
 )
 def seqbeam_encode_indexes(
@@ -1496,6 +1634,7 @@ def seqbeam_encode_indexes(
     zip_skew: int = 0,
     init_precision: str = "highest",
     sel_impl: str = "lohi",
+    lazy_r1: bool = False,
 ) -> jax.Array:
     """Encode (B, dim) frames to (B, nc) int32 indexes with the fused
     sequential-beam kernel.  Initialisation (logits argmax, or the caller's
@@ -1557,12 +1696,21 @@ def seqbeam_encode_indexes(
     both; "fold" folds once and masks each extracted min by packed-value
     equality (unique by construction) — bit-identical extraction order,
     ~3 fewer full-width VPU passes per round in the kernel's dominant
-    selection phase."""
+    selection phase.
+
+    ``lazy_r1`` (v2, static pool_mask, select reorder, step requant): R1
+    steps defer their codeword delta one step — no extension matmul, no
+    (M*B_s, D) in-place dequant+extend+requant (the R1 move is pure VPU
+    work on a VPU-bound kernel); the next pool step corrects its scores
+    via a precomputed cross-codebook Gram block and applies both deltas in
+    its merged move.  NOT bit-identical (the Gram correction runs in bf16;
+    the skipped R1 requantization round-trip slightly changes int8 E
+    rounding) — quality must be re-measured before promotion."""
     assert SEQBEAM_SUPPORTED(config), config
     assert impl == "v2" or (
         e_dtype == "f32" and requant == "step" and zip_skew == 0
-        and sel_impl == "lohi"
-    ), (impl, e_dtype, requant, zip_skew, sel_impl)
+        and sel_impl == "lohi" and not lazy_r1
+    ), (impl, e_dtype, requant, zip_skew, sel_impl, lazy_r1)
     if pool_mask is not None:
         assert impl == "v2", "pool_mask requires impl='v2'"
         # "altparity" measured +0.96% vs beam-5 at M8R4p3 on the
@@ -1622,6 +1770,15 @@ def seqbeam_encode_indexes(
             "f32/int32-only)")
         int8 = e_dtype == "int8"
         assert not int8 or (reorder == "select" and not cross_value)
+        if lazy_r1:
+            assert pool_mask is not None and reorder == "select" and (
+                requant == "step" and not cross_value
+            ), "lazy_r1 requires a static pool_mask, select reorder, step requant"
+            for m_ in pool_mask:
+                for t_ in range(1, nc - 1):
+                    assert m_[t_] or m_[t_ + 1], (
+                        "lazy_r1: a deferring R1 step must be followed by "
+                        "a pool step", m_)
         _ED = {"f32": jnp.float32, "bf16": jnp.bfloat16, "int8": jnp.int8}[
             e_dtype
         ]
@@ -1652,6 +1809,7 @@ def seqbeam_encode_indexes(
             passes=passes, SUBT=SUBT, pool_mask=pool_mask,
             cross_value=cross_value, reorder=reorder, e_dtype=e_dtype,
             requant=requant, zip_skew=zip_skew, sel_impl=sel_impl,
+            lazy_r1=lazy_r1,
         )
     else:
         scratch = [
@@ -1678,6 +1836,21 @@ def seqbeam_encode_indexes(
             pl.BlockSpec((nc * cs, cs), lambda i: (0, 0), memory_space=pltpu.VMEM)
         )
         inputs.append(gmod_flat)
+        if lazy_r1:
+            # cross-codebook Gram blocks for the deferred-R1 score
+            # correction: block t = C_{t-1} . C_t^T (block 0 unused)
+            gx = jnp.einsum(
+                "tid,tjd->tij", centers[:-1], centers[1:]
+            )  # (nc-1, cs, cs)
+            gx_flat = jnp.concatenate(
+                [jnp.zeros((1, cs, cs), gx.dtype), gx], axis=0
+            ).reshape(nc * cs, cs).astype(jnp.bfloat16)
+            in_specs.append(
+                pl.BlockSpec(
+                    (nc * cs, cs), lambda i: (0, 0), memory_space=pltpu.VMEM
+                )
+            )
+            inputs.append(gx_flat)
         if e_dtype == "int8":
             # symmetric per-codebook int8 centers + f32 scales: quality
             # screened kernel-faithfully at +0.96% vs beam-5 on the trained

@@ -693,3 +693,57 @@ def test_sel_fold_is_bit_identical():
         o_f = seqbeam_encode_indexes(params, config, x, passes=2,
                                      interpret=True, sel_impl="fold", **kw)
         assert (np.asarray(o_ref) == np.asarray(o_f)).all(), kw
+
+
+def test_lazy_r1_matches_eager():
+    """lazy_r1 defers R1-step deltas into the next pool step (Gram-block
+    score correction + merged extension).  Not bit-identical by contract
+    (the correction runs in bf16; the skipped R1 requantization changes
+    int8 rounding), but on a small config the indexes should agree almost
+    everywhere and the reconstruction error must match closely."""
+    from quantization_tpu.core.codec import decode_indexes
+    from quantization_tpu.core.types import scaled_centers
+    from quantization_tpu.ops.seqbeam import seqbeam_encode_indexes
+
+    config = core.QuantizerConfig(dim=128, codebook_size=256, num_codebooks=4)
+    params = core.init_quantizer_params(jax.random.PRNGKey(21), config)
+    x = jax.random.normal(jax.random.PRNGKey(22), (128, 128))
+    centers = scaled_centers(params, config.scale_speed)
+
+    def relerr(idx):
+        r = decode_indexes(centers, jnp.asarray(idx))
+        return float(jnp.sum((r - x) ** 2) / jnp.sum(x * x))
+
+    for kw in (
+        dict(M=8, R=4, reorder="select"),
+        dict(M=8, R=4, reorder="select", e_dtype="int8", interleave=2,
+             zip_skew=1),
+    ):
+        o_e = seqbeam_encode_indexes(params, config, x, passes=2,
+                                     interpret=True, pool_mask="altparity",
+                                     **kw)
+        o_l = seqbeam_encode_indexes(params, config, x, passes=2,
+                                     interpret=True, pool_mask="altparity",
+                                     lazy_r1=True, **kw)
+        agree = float((np.asarray(o_e) == np.asarray(o_l)).mean())
+        assert agree >= 0.98, (agree, kw)
+        re_, rl = relerr(o_e), relerr(o_l)
+        assert abs(re_ - rl) <= 2e-3 * re_, (re_, rl, kw)
+
+
+def test_lazy_r1_rejects_bad_schedules():
+    """A deferring R1 step must be followed by a pool step; dynamic
+    (mask=None) schedules are rejected outright."""
+    from quantization_tpu.ops.seqbeam import seqbeam_encode_indexes
+
+    config = core.QuantizerConfig(dim=128, codebook_size=256, num_codebooks=4)
+    params = core.init_quantizer_params(jax.random.PRNGKey(21), config)
+    x = jax.random.normal(jax.random.PRNGKey(22), (64, 128))
+    with pytest.raises(AssertionError):
+        seqbeam_encode_indexes(
+            params, config, x, passes=1, interpret=True, reorder="select",
+            pool_mask=(True, False, False, True), lazy_r1=True)
+    with pytest.raises(AssertionError):
+        seqbeam_encode_indexes(
+            params, config, x, passes=1, interpret=True, reorder="select",
+            lazy_r1=True)  # no static mask
