@@ -51,7 +51,10 @@ def _iter_sequential(data: str, batch: int, limit: int | None = None):
     if p.is_dir():
         from .data.shards import iter_shards_sequential
 
-        it = iter_shards_sequential(p, batch_size=batch)
+        # raw-f16 batches, ZERO host-side conversion: the device upcast
+        # fuses for free, while a host astype caps one core at ~125K
+        # frames/s — far below the kernel encode rate
+        it = iter_shards_sequential(p, batch_size=batch, dtype=np.float16)
     else:
         from .data.hdf5 import iter_hdf5_sequential
 

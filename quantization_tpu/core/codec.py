@@ -85,6 +85,11 @@ def encode(
 
     lead = x.shape[:-1]
     x2 = x.reshape(-1, config.dim)
+    if x2.dtype != jnp.float32:
+        # f16/bf16 corpora upcast ON DEVICE (fuses into the first consumer;
+        # exact for f16->f32), so the host stream can ship raw storage
+        # bytes — see data/shards.iter_shards_sequential(dtype=float16)
+        x2 = x2.astype(jnp.float32)
     if search_method == "auto":
         # Fastest config measured within the 1% quality bar on TPU: the
         # fused seqbeam kernel at M=8, R=4 with the "altparity" pool/R1

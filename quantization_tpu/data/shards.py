@@ -115,10 +115,10 @@ def rebatch(
             data = np.concatenate([buf, data])
         n_full = (data.shape[0] // batch_size) * batch_size
         for start in range(0, n_full, batch_size):
-            yield data[start : start + batch_size].astype(dtype)
+            yield data[start : start + batch_size].astype(dtype, copy=False)
         buf = data[n_full:]
     if buf is not None and buf.shape[0]:
-        yield buf.astype(dtype)
+        yield buf.astype(dtype, copy=False)
 
 
 def iter_shards_sequential(
@@ -127,11 +127,18 @@ def iter_shards_sequential(
     *,
     host_index: int = 0,
     num_hosts: int = 1,
+    dtype=np.float32,
 ) -> Iterator[np.ndarray]:
     """Order-preserving batch iterator: shard files in manifest order, rows
     in file order, no shuffling and no duplication.  Use this for bulk
     encode/decode where output row k must correspond to corpus frame k;
-    the shuffling :class:`ShardStream` pool is for training only."""
+    the shuffling :class:`ShardStream` pool is for training only.
+
+    ``dtype=np.float16`` yields the raw storage dtype with ZERO host-side
+    conversion (views of the file read) — the TPU-native bulk-encode path
+    uploads f16 and upcasts on device, where the cast fuses for free; the
+    host-side f16->f32 astype otherwise caps a single core at ~125K
+    frames/s (measured, BASELINE.md data-path section)."""
     shard_dir = pathlib.Path(shard_dir)
     with open(shard_dir / "manifest.json") as f:
         manifest = json.load(f)
@@ -144,7 +151,7 @@ def iter_shards_sequential(
                 -1, dim
             )
 
-    yield from rebatch(files(), batch_size)
+    yield from rebatch(files(), batch_size, dtype)
 
 
 def _build_native() -> Optional[ctypes.CDLL]:

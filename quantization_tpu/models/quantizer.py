@@ -15,9 +15,24 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import core
 from ..core.types import QuantizerConfig, QuantizerLosses, QuantizerParams
+
+
+def _put(x) -> jax.Array:
+    """Host arrays onto the device via an EXPLICIT ``jax.device_put``.
+
+    On the tunneled TPU backend, committing a multi-MB numpy array through
+    the dispatch path (``jnp.asarray`` + jit call) measured ~51 MB/s —
+    ~620 ms for a 32K x 512 f16 batch, 13x the kernel's compute time and
+    the silent binder of the round-5 end-to-end CLI encode (32K vec/s
+    instead of ~600K).  ``jax.device_put`` streams the same buffer at
+    ~1.5 GB/s (21 ms).  Measured in experiments/uploadpath_check.py."""
+    if isinstance(x, jax.Array):
+        return x
+    return jax.device_put(np.ascontiguousarray(x))
 
 
 @functools.lru_cache(maxsize=None)
@@ -168,7 +183,7 @@ class Quantizer:
 
         Extra ``search_kwargs`` (e.g. ``M=32``, ``R=8``, ``block_b=...``)
         are forwarded to the selected search backend."""
-        x = jnp.asarray(x)
+        x = _put(x)
         return _jit_encode(
             self.config,
             refine_indexes_iters,
@@ -178,7 +193,7 @@ class Quantizer:
         )(self.params, x)
 
     def decode(self, indexes: jax.Array, use_kernel: bool = False) -> jax.Array:
-        indexes = jnp.asarray(indexes)
+        indexes = _put(indexes)
         return _jit_decode(self.config, indexes.shape[-1], use_kernel)(
             self.params, indexes
         )
@@ -186,7 +201,7 @@ class Quantizer:
     def compute_loss(
         self, x: jax.Array, refine_indexes_iters: int = 0
     ) -> QuantizerLosses:
-        x = jnp.asarray(x)
+        x = _put(x)
         return _jit_compute_loss(self.config, refine_indexes_iters)(self.params, x)
 
     def compute_codebook_correlations(self) -> jax.Array:

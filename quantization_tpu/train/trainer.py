@@ -46,6 +46,16 @@ from ..parallel.mesh import shard_batch, shard_params
 logger = logging.getLogger(__name__)
 
 
+def _put_f32(x) -> jax.Array:
+    """Host minibatches onto the device via explicit ``jax.device_put``:
+    committing multi-MB numpy arrays through the dispatch path measured
+    ~51 MB/s on the tunneled backend vs ~1.5 GB/s for device_put (see
+    models/quantizer._put); the f32 cast then runs device-side."""
+    if not isinstance(x, jax.Array):
+        x = jax.device_put(np.ascontiguousarray(x))
+    return x.astype(jnp.float32) if x.dtype != jnp.float32 else x
+
+
 def make_optimizer() -> optax.GradientTransformation:
     """Adam(0.9, 0.98, eps=1e-9) with L2 weight decay 1e-6 folded into the
     gradient, exactly as ``torch.optim.Adam(weight_decay=1e-6)`` does
@@ -300,7 +310,7 @@ class QuantizerTrainer:
 
     def step(self, x) -> None:
         """One optimization step on a (*, dim) minibatch."""
-        x = jnp.asarray(x, dtype=jnp.float32).reshape(-1, self.config.dim)
+        x = _put_f32(x).reshape(-1, self.config.dim)
         if self.mesh is not None:
             x = shard_batch(x, self.mesh)
         num_iters = 2 if self._rng.random() < self.two_iter_prob else 1
@@ -330,7 +340,7 @@ class QuantizerTrainer:
         ``xs``: (K, B, dim) minibatches.  Semantically equivalent to K calls
         of :meth:`step` with per-200-iter diagnostics skipped (correlation
         logging still fires between chunks)."""
-        xs = jnp.asarray(xs, dtype=jnp.float32)
+        xs = _put_f32(xs)
         assert xs.ndim == 3 and xs.shape[-1] == self.config.dim, xs.shape
         pos = 0
         K = xs.shape[0]
