@@ -118,6 +118,41 @@ def cmd_train(args) -> None:
     logger.info("saved %s (id=%s) after %.0fs", args.out, q.get_id(), time.time() - t0)
 
 
+def _prefetch(it, depth: int = 4):
+    """Background-thread batch prefetch.
+
+    The sequential readers spend their time in ``np.fromfile`` (which
+    releases the GIL), so on a multi-core host a reader thread overlaps
+    disk reads with device dispatch/fetch in the consume loop.  Exceptions
+    propagate to the consumer.  (On a 1-core host this is neutral:
+    measured in BASELINE.md's data-path section, where the e2e encode is
+    core-count-bound.)"""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    done = object()
+    err = []
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as e:  # noqa: BLE001 - forwarded to consumer
+            err.append(e)
+        finally:
+            q.put(done)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is done:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
 def cmd_encode(args) -> None:
     from .utils.serialization import load_quantizer
 
@@ -141,7 +176,7 @@ def cmd_encode(args) -> None:
     pending = []
     t0 = None  # first batch includes compilation; time from the second on
     done_after_first = 0
-    for x in _iter_sequential(args.data, args.batch, args.limit):
+    for x in _prefetch(_iter_sequential(args.data, args.batch, args.limit)):
         pending.append(
             q.encode(
                 x,

@@ -24,12 +24,15 @@ from ..core.types import QuantizerConfig, QuantizerLosses, QuantizerParams
 def _put(x) -> jax.Array:
     """Host arrays onto the device via an EXPLICIT ``jax.device_put``.
 
-    On the tunneled TPU backend, committing a multi-MB numpy array through
-    the dispatch path (``jnp.asarray`` + jit call) measured ~51 MB/s —
-    ~620 ms for a 32K x 512 f16 batch, 13x the kernel's compute time and
-    the silent binder of the round-5 end-to-end CLI encode (32K vec/s
-    instead of ~600K).  ``jax.device_put`` streams the same buffer at
-    ~1.5 GB/s (21 ms).  Measured in experiments/uploadpath_check.py."""
+    Keeps the host->device transfer visible and contiguous instead of
+    burying it in jit argument committal.  NOTE (round-5 measurement,
+    experiments/uploadpath_check.py): on the tunneled dev backend the
+    transfer itself is the cost — ~35-50 MB/s for FRESH 32 MB buffers
+    through EITHER path (~0.9 s per 32K x 512 f16 batch; repeated puts of
+    an unchanged buffer are deduplicated and look 30x faster, which is a
+    measurement trap, not bandwidth).  Streaming-encode throughput on that
+    rig is upload-bound at ~35K vec/s regardless of this wrapper; on real
+    PCIe-attached TPU hosts the transfer is >10 GB/s and never binds."""
     if isinstance(x, jax.Array):
         return x
     return jax.device_put(np.ascontiguousarray(x))

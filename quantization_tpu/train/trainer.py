@@ -47,10 +47,10 @@ logger = logging.getLogger(__name__)
 
 
 def _put_f32(x) -> jax.Array:
-    """Host minibatches onto the device via explicit ``jax.device_put``:
-    committing multi-MB numpy arrays through the dispatch path measured
-    ~51 MB/s on the tunneled backend vs ~1.5 GB/s for device_put (see
-    models/quantizer._put); the f32 cast then runs device-side."""
+    """Host minibatches onto the device via explicit ``jax.device_put``
+    (visible, contiguous transfer; see models/quantizer._put for the
+    measured tunnel-bandwidth notes); any dtype cast then runs
+    device-side instead of on the host."""
     if not isinstance(x, jax.Array):
         x = jax.device_put(np.ascontiguousarray(x))
     return x.astype(jnp.float32) if x.dtype != jnp.float32 else x
